@@ -1,38 +1,86 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship extraction pipeline over a pages table synthesized
+               deterministically from sf0.001 ``documents``.
+``queries``  — every implemented operator (SURVEY.md §2 + training-data
+               ops); callables take (spark, sf_dir).
+``oracle_sql`` — DuckDB SQL for each SQL-expressible query. Extraction
+               queries (opaque readability UDF) get the rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _extract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability extraction over the synthesized pages table (stable,
+    deterministic output columns; content hashed to keep rows compact)."""
+    from nreadability_spark.spark.job import run_extraction
+    from nreadability_spark.spark.pages import synthesize_pages
+    pages = synthesize_pages(spark, sf_dir, include_fixtures=False)
+    out = run_extraction(spark, pages)
+    return out.select(
+        "url", "extracted", "title", "next_page_url", "content_text",
+        F.md5(F.coalesce(F.col("content"), F.lit(""))).alias("content_md5"),
+        F.length(F.coalesce(F.col("content"), F.lit("")))
+        .cast("long").alias("content_len"),
+        (F.col("error").isNotNull()).alias("failed"),
+    )
+
+
+def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level extraction metrics rollup (parse failures, lengths)."""
+    from nreadability_spark.spark.job import run_extraction
+    from nreadability_spark.spark.pages import synthesize_pages
+    pages = synthesize_pages(spark, sf_dir, include_fixtures=False)
+    out = run_extraction(spark, pages)
+    return out.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("extracted").cast("long")).alias("extracted"),
+        F.sum((F.col("error").isNotNull()).cast("long"))
+        .alias("parse_failures"),
+        F.sum(F.length(F.coalesce(F.col("content_text"), F.lit(""))))
+        .cast("long").alias("total_text_chars"),
+        F.max("html_bytes").cast("long").alias("max_doc_bytes"),
+    )
+
+
+def _extract_next_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-page-link detection results (D1/D2 operators) per url."""
+    from nreadability_spark.spark.job import run_extraction
+    from nreadability_spark.spark.pages import synthesize_pages
+    pages = synthesize_pages(spark, sf_dir, include_fixtures=False)
+    out = run_extraction(spark, pages)
+    return out.where(F.col("next_page_url").isNotNull()) \
+        .select("url", "next_page_url")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _extract_articles(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from nreadability_spark.spark.ops import SQL_OPS
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "extract_articles": _extract_articles,
+        "extract_metrics": _extract_metrics,
+        "extract_next_pages": _extract_next_pages,
+    }
+    for name, (fn, _sql) in SQL_OPS.items():
+        out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nreadability_spark.spark.ops import SQL_OPS
+    return {name: sql for name, (_fn, sql) in SQL_OPS.items()}

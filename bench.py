@@ -1,0 +1,98 @@
+"""Benchmark harness: headline extraction throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   input tables (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  BENCH_REPLICATE      pages-table replication factor (default 8)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
+CACHE_DIR = os.path.join(_REPO, ".bench_cache")
+
+
+def materialize_pages(spark, sf_dir: str, replicate: int) -> str:
+    """Write the synthesized pages table to parquet once so the measured
+    pipeline is a real scan -> extract, not synthesis."""
+    from nreadability_spark.spark.pages import synthesize_pages
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = os.path.join(CACHE_DIR, f"pages_{tag}_rep{replicate}.parquet")
+    if not os.path.exists(path):
+        pages = synthesize_pages(spark, sf_dir, include_fixtures=True,
+                                 replicate=replicate)
+        pages.repartition(max(CPUS * 2, 16)).write.mode("overwrite") \
+            .parquet(path)
+    return path
+
+
+def run_bench(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.job import run_extraction
+    from nreadability_spark.spark.ops import SQL_OPS
+
+    timings: dict[str, float] = {}
+
+    pages_path = materialize_pages(spark, sf_dir, REPLICATE)
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+
+    # headline: full extraction pipeline, forced end-to-end
+    t0 = time.perf_counter()
+    out = run_extraction(spark, pages, num_partitions=CPUS * 2)
+    agg = out.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("extracted").cast("long")).alias("extracted")).collect()
+    extract_sec = time.perf_counter() - t0
+    timings["extract_articles"] = round(extract_sec, 3)
+    assert agg[0]["docs"] == n_docs
+
+    for name in ("dedup_exact", "simhash", "dedup_minhash_lsh", "ann_topk",
+                 "sessionize", "events_hourly", "orders_by_nation",
+                 "token_counts", "lang_id"):
+        fn, _sql = SQL_OPS[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.agg(F.count("*")).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "extraction_wall_sec",
+        "value": timings["extract_articles"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / extract_sec, 1),
+        "cpus": CPUS,
+        "extracted": agg[0]["extracted"],
+    }
+
+
+def main() -> None:
+    from nreadability_spark.spark.session import get_spark
+    spark = get_spark("nreadability-bench", master=f"local[{CPUS}]")
+    try:
+        result = run_bench(spark, SF_DIR)
+    finally:
+        spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -126,14 +126,19 @@ class LinkData:
 
 
 class TranscodeResult:
-    __slots__ = ("content_extracted", "content", "title", "next_page_url")
+    __slots__ = ("content_extracted", "content", "title", "next_page_url",
+                 "content_text")
 
     def __init__(self, content_extracted: bool, content: Optional[str],
-                 title: Optional[str], next_page_url: Optional[str]):
+                 title: Optional[str], next_page_url: Optional[str],
+                 content_text: Optional[str] = None):
         self.content_extracted = content_extracted
         self.content = content
         self.title = title
         self.next_page_url = next_page_url
+        # normalized inner text of the article content element -- the
+        # per-url byte-identity invariant checked at dataset scale
+        self.content_text = content_text
 
 
 # --- DOM helpers (DomExtensions parity) --------------------------------------
@@ -234,10 +239,10 @@ class Transcoder:
 
     def transcode(self, html_content: str, url: Optional[str] = None,
                   pretty_print: bool = False) -> TranscodeResult:
-        document, extracted, title, next_page = self.transcode_to_xml(
+        document, extracted, title, next_page, text = self.transcode_to_xml(
             html_content, url)
         content = serialize_document(document, pretty_print=pretty_print)
-        return TranscodeResult(extracted, content, title, next_page)
+        return TranscodeResult(extracted, content, title, next_page, text)
 
     def transcode_to_xml(self, html_content: str, url: Optional[str]):
         if not html_content:
@@ -275,7 +280,8 @@ class Transcoder:
 
         extracted = not article_content_element.is_empty
         title = extract_title(document)
-        return document, extracted, title, next_page_url
+        article_text = self.get_inner_text(article_content_element)
+        return document, extracted, title, next_page_url, article_text
 
     # --- next-page detection (ReadabilityTranscoder.cs:328-622) --------------
 

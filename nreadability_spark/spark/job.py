@@ -1,0 +1,193 @@
+"""Dataset-level extraction pipeline.
+
+Plan shape (SURVEY.md §2.X):
+
+    scan -> select(url, html)            # column pruning reaches the scan
+         -> [left-anti resume join]      # checkpoint/resume
+         -> repartition(P, xxhash64(url))  # salted: defuses host clustering
+         -> mapInPandas(extract, SCHEMA) # Arrow batches; the only Python hop
+         -> sink (parquet/Iceberg append) + per-partition metrics rollup
+
+Design notes for 100 TB:
+* the extraction stage has no shuffle after the single salted repartition;
+  everything downstream is narrow;
+* Arrow batch rows are capped in the session config (html blobs are large);
+* per-row elapsed_us + partition id flow with the rows, so the metrics
+  rollup is a cheap columnar agg over the already-materialized sink —
+  extraction is never recomputed for metrics;
+* resume is a left-anti join against the sink's committed urls — with AQE
+  skew handling on; idempotent appends keyed by (url, run_id).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import tempfile
+import time
+import zipfile
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (BooleanType, LongType, StringType,
+                               StructField, StructType)
+
+OUT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("extracted", BooleanType()),
+    StructField("title", StringType()),
+    StructField("content", StringType()),
+    StructField("content_text", StringType()),
+    StructField("next_page_url", StringType()),
+    StructField("error", StringType()),
+    StructField("html_bytes", LongType()),
+    StructField("elapsed_us", LongType()),
+])
+
+METRICS_SCHEMA = ("run_id string, partition_id int, docs long, "
+                  "extracted long, parse_failures long, "
+                  "avg_content_len double, max_doc_bytes long, "
+                  "elapsed_ms long")
+
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (the local-mode
+    equivalent of ``spark-submit --py-files dist.zip``). Without it the
+    extraction UDF only imports when the driver happens to run from the
+    repo root."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import nreadability_spark
+    pkg_dir = os.path.dirname(os.path.abspath(nreadability_spark.__file__))
+    root = os.path.dirname(pkg_dir)
+    hasher = hashlib.sha256()
+    names = []
+    for dirpath, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                names.append(p)
+                with open(p, "rb") as f:
+                    hasher.update(p.encode())
+                    hasher.update(f.read())
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"nreadability_spark_{hasher.hexdigest()[:16]}.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in names:
+                zf.write(p, os.path.relpath(p, root))
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
+def transcode_row(url: Optional[str], html: Optional[bytes]) -> dict:
+    """Extract one document; never raises (failures become rows)."""
+    from nreadability_spark.readability import transcode
+    t0 = time.perf_counter_ns()
+    nbytes = len(html) if html is not None else 0
+    try:
+        text = html.decode("utf-8", errors="replace") if html is not None \
+            else ""
+        result = transcode(text, url or None)
+        return {
+            "url": url,
+            "extracted": bool(result.content_extracted),
+            "title": result.title,
+            "content": result.content,
+            "content_text": result.content_text,
+            "next_page_url": result.next_page_url,
+            "error": None,
+            "html_bytes": nbytes,
+            "elapsed_us": (time.perf_counter_ns() - t0) // 1000,
+        }
+    except Exception as exc:  # parse/serialize failure -> failed row
+        return {
+            "url": url,
+            "extracted": False,
+            "title": None,
+            "content": None,
+            "content_text": None,
+            "next_page_url": None,
+            "error": f"{type(exc).__name__}: {exc}"[:500],
+            "html_bytes": nbytes,
+            "elapsed_us": (time.perf_counter_ns() - t0) // 1000,
+        }
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    sys.setrecursionlimit(40000)  # deep tag-soup nesting
+    cols = [f.name for f in OUT_SCHEMA.fields]
+    for pdf in batches:
+        rows = [transcode_row(u, h) for u, h in zip(pdf["url"], pdf["html"])]
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def run_extraction(spark: SparkSession, pages: DataFrame,
+                   num_partitions: Optional[int] = None,
+                   done_urls: Optional[DataFrame] = None) -> DataFrame:
+    """pages(url, html [, ...]) -> extraction results DataFrame."""
+    ensure_package_shipped(spark)
+    df = pages.select("url", "html")  # column pruning before any exchange
+    if done_urls is not None:
+        df = df.join(done_urls.select("url"), "url", "left_anti")
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+    # salt by full-url hash: pages of one host arrive clustered in input
+    # order; xxhash64(url) spreads them uniformly
+    df = df.repartition(num_partitions, F.xxhash64("url"))
+    return df.mapInPandas(_extract_batches, OUT_SCHEMA)
+
+
+def run_job(spark: SparkSession, pages: DataFrame, out_dir: str,
+            run_id: str, num_partitions: Optional[int] = None,
+            resume: bool = True) -> dict:
+    """Full job: extract -> parquet sink -> metrics rollup sink.
+
+    Returns summary counters. Idempotent per url: rerunning after a partial
+    failure anti-joins the committed urls and appends only the remainder.
+    """
+    extracted_path = os.path.join(out_dir, "extracted")
+    metrics_path = os.path.join(out_dir, "metrics")
+
+    done = None
+    if resume:
+        try:
+            done = spark.read.parquet(extracted_path)
+        except Exception:
+            done = None
+
+    out = run_extraction(spark, pages, num_partitions, done_urls=done)
+    out = (out
+           .withColumn("run_id", F.lit(run_id))
+           .withColumn("partition_id", F.spark_partition_id()))
+    out.write.mode("append").parquet(extracted_path)
+
+    written = spark.read.parquet(extracted_path).where(
+        F.col("run_id") == run_id)
+    metrics = (written.groupBy("run_id", "partition_id").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("extracted").cast("long")).alias("extracted"),
+        F.sum((F.col("error").isNotNull()).cast("long"))
+        .alias("parse_failures"),
+        F.avg(F.length("content")).alias("avg_content_len"),
+        F.max("html_bytes").alias("max_doc_bytes"),
+        (F.sum("elapsed_us") / 1000).cast("long").alias("elapsed_ms"),
+    ))
+    metrics.write.mode("append").parquet(metrics_path)
+
+    summary = written.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("extracted").cast("long")).alias("extracted"),
+        F.sum((F.col("error").isNotNull()).cast("long")).alias("failures"),
+    ).collect()[0]
+    return {"docs": summary["docs"], "extracted": summary["extracted"],
+            "failures": summary["failures"], "run_id": run_id,
+            "extracted_path": extracted_path, "metrics_path": metrics_path}

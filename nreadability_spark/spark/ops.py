@@ -1,0 +1,690 @@
+"""Dataset-level operators: training-data-pipeline ops over the synthetic
+tables, each with a DuckDB oracle for the driver's correctness gate.
+
+Engine-parity rules used throughout (so value-hashes match exactly):
+
+* no floating-point aggregation crosses the compare boundary: money is
+  summed in integer cents, embeddings are floor-quantized to integer
+  milli-units, ratios are floor()'d scaled integers;
+* string hashing is md5 (identical in Spark and DuckDB); 60-bit integers
+  are derived from the first 15 hex chars;
+* every computed column is explicitly aliased and cast, and the same alias
+  appears in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- corpus with synthetic duplicates (dedup demos) ---------------------------
+
+_DUP_TAIL = " extra duplicate tail marker"
+
+CORPUS_SQL = f"""
+    select doc_id, text from documents
+    union all
+    select doc_id + 1000000 as doc_id, text || '{_DUP_TAIL}' as text
+    from documents where doc_id % 7 = 0
+    union all
+    select doc_id + 2000000 as doc_id, text from documents
+    where doc_id % 13 = 0
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (docs.where(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(_DUP_TAIL)).alias("text")))
+    exact = (docs.where(F.col("doc_id") % 13 == 0)
+             .select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
+    return docs.unionByName(near).unionByName(exact)
+
+
+_TOKENS = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+_TOKENS_DUCK = ("list_filter(regexp_split_to_array(lower(trim(text)), "
+                "'\\s+'), x -> x != '')")
+# 60-bit integer from a string, identical in both engines
+_H60 = "cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
+_H60_DUCK = "(('0x' || substr(md5({col}), 1, 15))::bigint)"
+
+
+# --- simple table ops ---------------------------------------------------------
+
+def pages_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.groupBy((F.col("doc_id") % 97).cast("long").alias("host"))
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+PAGES_BY_HOST_SQL = """
+    select cast(doc_id % 97 as bigint) as host,
+           count(*) as n_pages,
+           cast(sum(n_chars) as bigint) as total_chars
+    from documents group by 1
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    return (corpus.groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.min("doc_id").cast("long").alias("keep_id"),
+                 F.count("*").alias("n_copies"))
+            .where(F.col("n_copies") > 1))
+
+
+DEDUP_EXACT_SQL = f"""
+    select md5(text) as text_hash,
+           cast(min(doc_id) as bigint) as keep_id,
+           count(*) as n_copies
+    from ({CORPUS_SQL}) group by 1 having count(*) > 1
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "cast(doc_id as bigint) as doc_id",
+        f"cast(size({_TOKENS}) as bigint) as n_tokens",
+        f"cast(size(array_distinct({_TOKENS})) as bigint) as n_distinct",
+        f"cast(aggregate({_TOKENS}, 0L, (acc, x) -> acc + length(x)) "
+        "as bigint) as total_token_chars",
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+    select cast(doc_id as bigint) as doc_id,
+           cast(len({_TOKENS_DUCK}) as bigint) as n_tokens,
+           cast(len(list_distinct({_TOKENS_DUCK})) as bigint) as n_distinct,
+           cast(coalesce(list_sum(list_transform({_TOKENS_DUCK},
+                x -> length(x))), 0) as bigint) as total_token_chars
+    from documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "cast(doc_id as bigint) as doc_id",
+        "md5(trim(regexp_replace(lower(text), '\\\\s+', ' '))) "
+        "as fingerprint",
+        f"{_H60.format(col='text')} as rolling_h60",
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+    select cast(doc_id as bigint) as doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             as fingerprint,
+           {_H60_DUCK.format(col='text')} as rolling_h60
+    from documents
+"""
+
+
+# --- language id / quality ----------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["' the '", "' and '", "' of '"],
+    "es": ["' el '", "' la '", "' los '"],
+    "de": ["' der '", "' und '", "' die '"],
+    "fr": ["' le '", "' et '", "' les '"],
+}
+
+
+def _occ(marker: str) -> str:
+    # occurrences of a marker via the replace-length trick (exact ints)
+    return (f"cast((length(padded) - length(replace(padded, {marker}, '')))"
+            f" / length({marker}) as bigint)")
+
+
+def _lang_sql(dialect: str) -> str:
+    scores = {lang: " + ".join(_occ(m) for m in marks)
+              for lang, marks in _LANG_MARKERS.items()}
+    case = f"""
+        case when s_en >= s_es and s_en >= s_de and s_en >= s_fr then 'en'
+             when s_es >= s_de and s_es >= s_fr then 'es'
+             when s_de >= s_fr then 'de'
+             else 'fr' end
+    """
+    return f"""
+        select cast(doc_id as bigint) as doc_id,
+               {case} as detected_lang,
+               s_en, s_es, s_de, s_fr
+        from (
+          select doc_id,
+                 {scores['en']} as s_en, {scores['es']} as s_es,
+                 {scores['de']} as s_de, {scores['fr']} as s_fr
+          from (select doc_id,
+                       ' ' || lower(text) || ' ' as padded
+                from documents))
+    """
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_lang_sql("spark"))
+
+
+LANG_ID_SQL = _lang_sql("duckdb")
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "cast(doc_id as bigint) as doc_id",
+        "cast(length(text) as bigint) as n_chars_measured",
+        f"cast(size({_TOKENS}) as bigint) as n_tokens",
+        "cast(length(regexp_replace(text, '[^.,;:!?]', '')) as bigint) "
+        "as n_punct",
+        # scaled-integer ratios: floor((a * 1000) / b) is exact both sides
+        f"cast(floor(size({_TOKENS}) * 1000.0 / (length(text) + 1)) "
+        "as bigint) as tokens_per_kchar",
+        f"cast(floor(size(array_distinct({_TOKENS})) * 1000.0 / "
+        f"(size({_TOKENS}) + 1)) as bigint) as distinct_ratio_milli",
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+    select cast(doc_id as bigint) as doc_id,
+           cast(length(text) as bigint) as n_chars_measured,
+           cast(len({_TOKENS_DUCK}) as bigint) as n_tokens,
+           cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                as bigint) as n_punct,
+           cast(floor(len({_TOKENS_DUCK}) * 1000.0 / (length(text) + 1))
+                as bigint) as tokens_per_kchar,
+           cast(floor(len(list_distinct({_TOKENS_DUCK})) * 1000.0 /
+                (len({_TOKENS_DUCK}) + 1)) as bigint) as distinct_ratio_milli
+    from documents
+"""
+
+
+# --- simhash ------------------------------------------------------------------
+
+_SIMHASH_BITS = 60
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.selectExpr("doc_id",
+                             f"explode({_TOKENS}) as tok")
+    toks = toks.selectExpr("doc_id", f"{_H60.format(col='tok')} as h")
+    aggs = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    bits = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return bits.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       sim.cast("long").alias("simhash"))
+
+
+def _simhash_sql_duck() -> str:
+    h = _H60_DUCK.format(col="tok")
+    bit_sums = ", ".join(
+        f"sum(case when (h & {1 << b}) != 0 then 1 else -1 end) as b{b}"
+        for b in range(_SIMHASH_BITS))
+    recombine = " + ".join(
+        f"(case when b{b} > 0 then cast({1 << b} as bigint) else 0 end)"
+        for b in range(_SIMHASH_BITS))
+    return f"""
+        select cast(doc_id as bigint) as doc_id,
+               cast({recombine} as bigint) as simhash
+        from (
+          select doc_id, {bit_sums}
+          from (
+            select doc_id, {h} as h
+            from (select doc_id, unnest({_TOKENS_DUCK}) as tok
+                  from ({CORPUS_SQL})))
+          group by doc_id)
+    """
+
+
+SIMHASH_SQL = _simhash_sql_duck()
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash near-dup candidate pairs with hamming distance."""
+    sims = simhash(spark, sf_dir)
+    bands = sims.selectExpr(
+        "doc_id", "simhash",
+        "explode(array(0, 1, 2, 3)) as band_id"
+    ).selectExpr(
+        "doc_id", "simhash", "band_id",
+        "shiftright(simhash, band_id * 15) & 32767 as band_sig")
+    a = bands.selectExpr("doc_id as doc1", "simhash as sim1",
+                         "band_id", "band_sig")
+    b = bands.selectExpr("doc_id as doc2", "simhash as sim2",
+                         "band_id", "band_sig")
+    pairs = (a.join(b, ["band_id", "band_sig"])
+             .where(F.col("doc1") < F.col("doc2"))
+             .select("doc1", "doc2", "sim1", "sim2").distinct()
+             .selectExpr("doc1", "doc2",
+                         "cast(bit_count(sim1 ^ sim2) as bigint) as hamming")
+             .where(F.col("hamming") <= 16))
+    return pairs.select(F.col("doc1").cast("long"),
+                        F.col("doc2").cast("long"), "hamming")
+
+
+DEDUP_SIMHASH_SQL = f"""
+    with sims as ({SIMHASH_SQL}),
+    bands as (
+      select doc_id, simhash, band_id,
+             (simhash >> (band_id * 15)) & 32767 as band_sig
+      from sims, unnest([0, 1, 2, 3]) as t(band_id)
+    ),
+    pairs as (
+      select distinct a.doc_id as doc1, b.doc_id as doc2,
+             a.simhash as sim1, b.simhash as sim2
+      from bands a join bands b
+        on a.band_id = b.band_id and a.band_sig = b.band_sig
+       and a.doc_id < b.doc_id
+    )
+    select cast(doc1 as bigint) as doc1, cast(doc2 as bigint) as doc2,
+           cast(bit_count(xor(sim1, sim2)) as bigint) as hamming
+    from pairs where bit_count(xor(sim1, sim2)) <= 16
+"""
+
+
+# --- minhash LSH ---------------------------------------------------------------
+
+_N_MINHASH = 16
+_SHINGLE_MOD = 1000003
+_MINHASH_MOD = 1048573
+
+_SHINGLES = ("case when size({t}) >= 3 then transform(sequence(0, size({t}) - 3), "
+             "i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2])) "
+             "else array() end").format(t=_TOKENS)
+_SHINGLES_DUCK = ("case when len({t}) >= 3 then list_transform(range(1, len({t}) - 1), "
+                  "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]) "
+                  "else [] end").format(t=_TOKENS_DUCK)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.selectExpr("doc_id",
+                           f"explode({_SHINGLES}) as shingle").distinct()
+    sh = sh.selectExpr(
+        "doc_id",
+        f"{_H60.format(col='shingle')} % {_SHINGLE_MOD} as sh")
+    aggs = [F.min((F.col("sh") * (2 * i + 3) + (7 * i + 1))
+                  % _MINHASH_MOD).alias(f"m{i}")
+            for i in range(_N_MINHASH)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      *[F.col(f"m{i}").cast("long").alias(f"m{i}")
+                        for i in range(_N_MINHASH)])
+
+
+def _minhash_sql_duck() -> str:
+    mins = ", ".join(
+        f"cast(min((sh * {2 * i + 3} + {7 * i + 1}) % {_MINHASH_MOD}) "
+        f"as bigint) as m{i}" for i in range(_N_MINHASH))
+    return f"""
+        select cast(doc_id as bigint) as doc_id, {mins}
+        from (
+          select doc_id,
+                 {_H60_DUCK.format(col='shingle')} % {_SHINGLE_MOD} as sh
+          from (select distinct doc_id, unnest({_SHINGLES_DUCK}) as shingle
+                from ({CORPUS_SQL})))
+        group by doc_id
+    """
+
+
+MINHASH_SIGNATURES_SQL = _minhash_sql_duck()
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: 4 bands x 4 rows over the minhash signature."""
+    sig = minhash_signatures(spark, sf_dir)
+    band_exprs = []
+    for band in range(4):
+        cols = ", ".join(f"m{band * 4 + j}" for j in range(4))
+        band_exprs.append(
+            f"struct({band} as band_id, concat_ws(',', {cols}) as band_sig)")
+    bands = sig.selectExpr(
+        "doc_id", f"explode(array({', '.join(band_exprs)})) as band"
+    ).selectExpr("doc_id", "band.band_id", "band.band_sig")
+    a = bands.selectExpr("doc_id as doc1", "band_id", "band_sig")
+    b = bands.selectExpr("doc_id as doc2", "band_id", "band_sig")
+    return (a.join(b, ["band_id", "band_sig"])
+            .where(F.col("doc1") < F.col("doc2"))
+            .select(F.col("doc1").cast("long"), F.col("doc2").cast("long"))
+            .distinct())
+
+
+def _lsh_sql_duck() -> str:
+    band_rows = []
+    for band in range(4):
+        cols = " || ',' || ".join(
+            f"cast(m{band * 4 + j} as varchar)" for j in range(4))
+        band_rows.append(
+            f"select doc_id, {band} as band_id, {cols} as band_sig from sigs")
+    return f"""
+        with sigs as ({MINHASH_SIGNATURES_SQL}),
+        bands as ({' union all '.join(band_rows)})
+        select distinct cast(a.doc_id as bigint) as doc1,
+                        cast(b.doc_id as bigint) as doc2
+        from bands a join bands b
+          on a.band_id = b.band_id and a.band_sig = b.band_sig
+         and a.doc_id < b.doc_id
+    """
+
+
+DEDUP_MINHASH_LSH_SQL = _lsh_sql_duck()
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard (scaled-integer) for LSH candidate pairs."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.selectExpr("doc_id",
+                           f"explode({_SHINGLES}) as shingle").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    a = sh.selectExpr("doc_id as doc1", "shingle")
+    b = sh.selectExpr("doc_id as doc2", "shingle")
+    common = (cand.join(a, "doc1").join(b, ["doc2", "shingle"])
+              .groupBy("doc1", "doc2").agg(F.count("*").alias("common")))
+    out = (common
+           .join(sizes.selectExpr("doc_id as doc1", "n as n1"), "doc1")
+           .join(sizes.selectExpr("doc_id as doc2", "n as n2"), "doc2")
+           .selectExpr("doc1", "doc2",
+                       "cast(floor(common * 1000.0 / (n1 + n2 - common)) "
+                       "as bigint) as jaccard_milli")
+           .where(F.col("jaccard_milli") >= 300))
+    return out.select(F.col("doc1").cast("long"),
+                      F.col("doc2").cast("long"), "jaccard_milli")
+
+
+NGRAM_JACCARD_SQL = f"""
+    with shingles as (
+      select distinct doc_id, unnest({_SHINGLES_DUCK}) as shingle
+      from ({CORPUS_SQL})
+    ),
+    sizes as (select doc_id, count(*) as n from shingles group by 1),
+    cand as ({DEDUP_MINHASH_LSH_SQL}),
+    common as (
+      select c.doc1, c.doc2, count(*) as common
+      from cand c
+      join shingles a on a.doc_id = c.doc1
+      join shingles b on b.doc_id = c.doc2 and b.shingle = a.shingle
+      group by 1, 2
+    )
+    select cast(c.doc1 as bigint) as doc1, cast(c.doc2 as bigint) as doc2,
+           cast(floor(common * 1000.0 / (s1.n + s2.n - common)) as bigint)
+             as jaccard_milli
+    from common c
+    join sizes s1 on s1.doc_id = c.doc1
+    join sizes s2 on s2.doc_id = c.doc2
+    where floor(common * 1000.0 / (s1.n + s2.n - common)) >= 300
+"""
+
+
+# --- embeddings: quantized similarity search -----------------------------------
+
+_QVEC = "transform(embedding, x -> cast(floor(x * 1000) as bigint))"
+_QVEC_DUCK = "list_transform(embedding, x -> cast(floor(x * 1000) as bigint))"
+_N_QUERIES = 8
+_TOP_K = 10
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k by integer dot product on quantized embeddings.
+
+    The baseline scale path is the same plan over LSH buckets (ann_lsh);
+    quantization keeps both engines bit-exact.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _N_QUERIES) \
+        .selectExpr("vec_id as query_id", f"{_QVEC} as qv")
+    c = emb.where(F.col("vec_id") >= _N_QUERIES) \
+        .selectExpr("vec_id as cand_id", f"{_QVEC} as cv")
+    pairs = c.crossJoin(F.broadcast(q)).selectExpr(
+        "query_id", "cand_id",
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, "
+        "(acc, v) -> acc + v) as dot")
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(),
+                                               F.col("cand_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select(F.col("query_id").cast("long"),
+                    F.col("cand_id").cast("long"),
+                    F.col("dot").cast("long"),
+                    F.col("rank").cast("long")))
+
+
+ANN_TOPK_SQL = f"""
+    with q as (
+      select vec_id as query_id, {_QVEC_DUCK} as qv
+      from embeddings where vec_id < {_N_QUERIES}
+    ),
+    c as (
+      select vec_id as cand_id, {_QVEC_DUCK} as cv
+      from embeddings where vec_id >= {_N_QUERIES}
+    ),
+    pairs as (
+      select query_id, cand_id,
+             cast(list_dot_product(list_transform(qv, x -> x::double),
+                                   list_transform(cv, x -> x::double))
+                  as bigint) as dot
+      from c cross join q
+    ),
+    ranked as (
+      select query_id, cand_id, dot,
+             row_number() over (partition by query_id
+                                order by dot desc, cand_id asc) as rank
+      from pairs
+    )
+    select cast(query_id as bigint) as query_id,
+           cast(cand_id as bigint) as cand_id,
+           cast(dot as bigint) as dot, cast(rank as bigint) as rank
+    from ranked where rank <= {_TOP_K}
+"""
+
+_N_PLANES = 8
+# deterministic integer hyperplanes: LCG over (plane, dim)
+_LCG = "((1103515245 * cast({j} * 64 + i as bigint) + 12345) % 65536) - 32768"
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector — integer-exact sign bits."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.selectExpr("vec_id", f"{_QVEC} as qv")
+    bit_exprs = []
+    for j in range(_N_PLANES):
+        w = _LCG.format(j=j)
+        dot = (f"aggregate(zip_with(qv, transform(sequence(0, 63), "
+               f"i -> {w}), (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        bit_exprs.append(f"(case when {dot} > 0 then {1 << j} else 0 end)")
+    return q.selectExpr(
+        "cast(vec_id as bigint) as vec_id",
+        f"cast({' + '.join(bit_exprs)} as bigint) as bucket")
+
+
+def _ann_lsh_sql_duck() -> str:
+    bit_exprs = []
+    for j in range(_N_PLANES):
+        w = _LCG.format(j=j)
+        dot = (f"cast(list_dot_product("
+               f"list_transform(qv, x -> x::double), "
+               f"list_transform(range(0, 64), i -> ({w})::double)) "
+               f"as bigint)")
+        bit_exprs.append(f"(case when {dot} > 0 then {1 << j} else 0 end)")
+    return f"""
+        select cast(vec_id as bigint) as vec_id,
+               cast({' + '.join(bit_exprs)} as bigint) as bucket
+        from (select vec_id, {_QVEC_DUCK} as qv from embeddings)
+    """
+
+
+ANN_LSH_BUCKETS_SQL = _ann_lsh_sql_duck()
+
+
+# --- events: windowed aggregation / sessionization ------------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("event_type"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("long"))
+             .alias("value_cents")))
+
+
+EVENTS_HOURLY_SQL = """
+    select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
+           event_type,
+           count(*) as n_events,
+           cast(sum(cast(round(value * 100) as bigint)) as bigint)
+             as value_cents
+    from events group by 1, 2
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user (stateful op as window fn)."""
+    ev = _read(spark, sf_dir, "events")
+    # parquet timestamps arrive as TIMESTAMP_NTZ; session TZ is UTC so the
+    # cast is identity and unix_micros stays integer-exact
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", "event_id",
+        (F.unix_micros(ts) - F.lag(F.unix_micros(ts), 1)
+         .over(w)).alias("gap_us"))
+    marked = gaps.select(
+        "user_id",
+        F.when(F.col("gap_us").isNull() | (F.col("gap_us") > 1800000000),
+               1).otherwise(0).alias("is_start"))
+    return (marked.groupBy(F.col("user_id").cast("long").alias("user_id"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("is_start").cast("long").alias("n_sessions")))
+
+
+SESSIONIZE_SQL = """
+    select cast(user_id as bigint) as user_id,
+           count(*) as n_events,
+           cast(sum(is_start) as bigint) as n_sessions
+    from (
+      select user_id,
+             case when gap_us is null or gap_us > 1800000000
+                  then 1 else 0 end as is_start
+      from (
+        select user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) over
+                 (partition by user_id order by ts, event_id) as gap_us
+        from events))
+    group by 1
+"""
+
+
+# --- relational ops over the star schema ----------------------------------------
+
+def orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join rollup: orders -> customer -> nation."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (orders
+            .join(F.broadcast(customer),
+                  orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation),
+                  customer.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("total_cents")))
+
+
+ORDERS_BY_NATION_SQL = """
+    select n_name,
+           count(*) as n_orders,
+           cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+             as total_cents
+    from orders
+    join customer on o_custkey = c_custkey
+    join nation on c_nationkey = n_nationkey
+    group by 1
+"""
+
+
+def top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-3 customers per nation by integer-cent spend."""
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                  .alias("spend_cents")))
+    joined = (spend
+              .join(F.broadcast(customer),
+                    spend.o_custkey == customer.c_custkey)
+              .join(F.broadcast(nation),
+                    customer.c_nationkey == nation.n_nationkey))
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("spend_cents").desc(), F.col("c_custkey").asc())
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("n_name", F.col("c_custkey").cast("long"),
+                    F.col("spend_cents").cast("long"),
+                    F.col("rank").cast("long")))
+
+
+TOP_SPENDERS_SQL = """
+    with spend as (
+      select o_custkey,
+             cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+               as spend_cents
+      from orders group by 1
+    ),
+    ranked as (
+      select n_name, c_custkey, spend_cents,
+             row_number() over (partition by n_name
+                                order by spend_cents desc, c_custkey asc)
+               as rank
+      from spend
+      join customer on o_custkey = c_custkey
+      join nation on c_nationkey = n_nationkey
+    )
+    select n_name, cast(c_custkey as bigint) as c_custkey,
+           cast(spend_cents as bigint) as spend_cents,
+           cast(rank as bigint) as rank
+    from ranked where rank <= 3
+"""
+
+
+# --- registry -------------------------------------------------------------------
+
+SQL_OPS = {
+    "pages_by_host": (pages_by_host, PAGES_BY_HOST_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "quality_score": (quality_score, QUALITY_SCORE_SQL),
+    "simhash": (simhash, SIMHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
+    "ann_topk": (ann_topk, ANN_TOPK_SQL),
+    "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_BUCKETS_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
+    "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
+    "top_spenders": (top_spenders, TOP_SPENDERS_SQL),
+}

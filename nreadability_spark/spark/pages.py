@@ -1,0 +1,208 @@
+"""Deterministic synthesis of the Common-Crawl-style ``pages`` table.
+
+Input shape per BASELINE.json ``input_hint``:
+    pages(url: string, warc_ts: timestamp, html: binary, text: string,
+          lang: string)
+
+Two deterministic row sources, no RNG, no wall clock:
+
+* **fixture rows** — the reference's own saved sample pages
+  (SampleInput_* / SampleWebInput_*), with the urls its test suite
+  associates with them; these anchor behavioral parity;
+* **template rows** — derived 1:1 from the driver-generated ``documents``
+  table at the chosen scale factor: each document's text is wrapped in a
+  seeded page skeleton that exercises every operator class (sidebar strip,
+  div->p, double-br, conditional table cleanup, URL resolution, next-page
+  link). ``doc_id % 97`` picks the host, creating the host-level clustering
+  the salted repartition defuses. ``doc_id % 20 == 0`` rows get a truncated
+  ``<script`` tail to exercise the parse-retry and failure paths.
+
+The same synthesis exists in two forms: ``template_html_expr`` (Spark
+column expressions — runs distributed, scales to any SF) and
+``template_html_py`` (pure Python — the local oracle used by the
+byte-identity tests). They must render identical bytes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+FIXTURE_DIR = "/root/reference/Carbon.Readability.Tests"
+
+THEVERGE_URLS = {
+    14: "http://www.theverge.com/2012/5/25/3042640/samsung-galaxy-s-iii-review",
+    15: "http://www.theverge.com/2012/6/21/3032067/casio-bluetooth-g-shock-watch-gb6900-review",
+}
+_FIXTURE_LANGS = {2: "pl"}
+
+_EPOCH = "2026-01-01 00:00:00"
+
+
+def fixture_rows() -> list[tuple]:
+    """(url, seq, html_bytes, text, lang) for the 42 reference pages."""
+    rows = []
+    seq = 0
+    for path in sorted(glob.glob(os.path.join(FIXTURE_DIR, "SampleInput",
+                                              "SampleInput_*.html"))):
+        num = int(os.path.basename(path)[12:14])
+        url = THEVERGE_URLS.get(num, f"https://fixtures.local/sample/{num:02d}")
+        with open(path, "rb") as f:
+            html = f.read()
+        rows.append((url, seq, html, "", _FIXTURE_LANGS.get(num, "en")))
+        seq += 1
+    for path in sorted(glob.glob(os.path.join(FIXTURE_DIR, "SampleWebInput",
+                                              "*.html"))):
+        name = os.path.basename(path)[:-5]
+        url = f"https://fixtures.local/web/{name}"
+        with open(path, "rb") as f:
+            html = f.read()
+        rows.append((url, seq, html, "", "en"))
+        seq += 1
+    return rows
+
+
+# --- template page (kept in one place so Spark and Python render match) ------
+
+_PAGE_HEAD = (
+    '<html><head><title>{title} | Site {host}</title>'
+    '<meta name="viewport" content="width=1000" />'
+    '<style>.x{{color:#000}}</style>'
+    '<script src="/app.js">var x=1;</script></head><body>'
+    '<div class="sidebar"><a href="/nav/1">Home</a><a href="/nav/2">News</a>'
+    '<a href="/nav/3">Sports</a><a href="/nav/4">Tech</a></div>'
+    '<div id="main" class="article content"><h1>{title}</h1>'
+)
+_PAGE_TAIL = (
+    '<div>bare text inside a div<a href="/x">link</a>trailing text</div>'
+    'intro line<br /><br />after the break'
+    '<table class="widget"><tr><td><a href="/w1">w</a></td></tr></table>'
+    '<p><img src="img/{doc_id}.jpg" /></p>'
+    '<a href="/articles/{doc_id}?page=2">Next Page 2</a></div>'
+    '<div class="footer comment">copyright junk links</div></body></html>'
+)
+
+
+def template_html_py(doc_id: int, text: str) -> str:
+    """Local (oracle) renderer: must match template_html_expr byte-for-byte."""
+    host = doc_id % 97
+    title = f"Article {doc_id}"
+    t = text or ""
+    p1 = t
+    p2 = (t[:220] + ", " + t[:120]) if t else ""
+    p3 = t[:64]
+    body = f"<p>{p1}</p><p>{p2}</p><p>{p3}</p>"
+    page = (_PAGE_HEAD.format(title=title, host=host) + body
+            + _PAGE_TAIL.format(doc_id=doc_id))
+    if doc_id % 97 == 0:
+        # contentless page: exercises the extracted=false path
+        return f"<html><head><title>{title}</title></head><body></body></html>"
+    if doc_id % 20 == 0:
+        # hosed page: truncate mid-script to exercise the retry path
+        page = page[:len(page) * 2 // 3] + "<script>var broken = '"
+    return page
+
+
+def template_html_expr(doc_id_col, text_col):
+    """Spark-side renderer of the same template (distributed, any SF)."""
+    host = doc_id_col % 97
+    title = F.concat(F.lit("Article "), doc_id_col.cast("string"))
+    t = F.coalesce(text_col, F.lit(""))
+    p1 = t
+    p2 = F.when(t == "", F.lit("")).otherwise(
+        F.concat(F.substring(t, 1, 220), F.lit(", "), F.substring(t, 1, 120)))
+    p3 = F.substring(t, 1, 64)
+    body = F.concat(F.lit("<p>"), p1, F.lit("</p><p>"), p2,
+                    F.lit("</p><p>"), p3, F.lit("</p>"))
+    head = F.concat(
+        F.lit('<html><head><title>'), title,
+        F.lit(' | Site '), host.cast("string"),
+        F.lit('</title><meta name="viewport" content="width=1000" />'
+              '<style>.x{color:#000}</style>'
+              '<script src="/app.js">var x=1;</script></head><body>'
+              '<div class="sidebar"><a href="/nav/1">Home</a>'
+              '<a href="/nav/2">News</a><a href="/nav/3">Sports</a>'
+              '<a href="/nav/4">Tech</a></div>'
+              '<div id="main" class="article content"><h1>'), title,
+        F.lit("</h1>"))
+    tail = F.concat(
+        F.lit('<div>bare text inside a div<a href="/x">link</a>trailing text'
+              '</div>intro line<br /><br />after the break'
+              '<table class="widget"><tr><td><a href="/w1">w</a></td></tr>'
+              '</table><p><img src="img/'), doc_id_col.cast("string"),
+        F.lit('.jpg" /></p><a href="/articles/'), doc_id_col.cast("string"),
+        F.lit('?page=2">Next Page 2</a></div>'
+              '<div class="footer comment">copyright junk links</div>'
+              "</body></html>"))
+    page = F.concat(head, body, tail)
+    return F.when(
+        doc_id_col % 97 == 0,
+        F.concat(F.lit("<html><head><title>"), title,
+                 F.lit("</title></head><body></body></html>"))
+    ).when(
+        doc_id_col % 20 == 0,
+        F.concat(F.substring(page, 1,
+                             (F.length(page) * 2 / 3).cast("int")),
+                 F.lit("<script>var broken = '"))
+    ).otherwise(page)
+
+
+def template_url_py(doc_id: int) -> str:
+    return f"https://host{doc_id % 97}.example.org/articles/{doc_id}"
+
+
+_LANG_CYCLE = ["en", "pl", "de", "fr"]
+
+
+def synthesize_pages(spark: SparkSession, sf_dir: str,
+                     include_fixtures: bool = True,
+                     replicate: int = 1) -> DataFrame:
+    """Build the pages table: fixture rows + one template page per
+    ``documents`` row at ``sf_dir``. ``replicate`` > 1 scales the corpus
+    for benchmarking (urls get a ?rep=k suffix to stay unique)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if replicate > 1:
+        reps = spark.range(replicate).withColumnRenamed("id", "rep")
+        docs = docs.crossJoin(F.broadcast(reps))
+    else:
+        docs = docs.withColumn("rep", F.lit(0).cast("long"))
+
+    doc_id = F.col("doc_id").cast("long")
+    url = F.concat(
+        F.lit("https://host"), (doc_id % 97).cast("string"),
+        F.lit(".example.org/articles/"), doc_id.cast("string"),
+        F.when(F.col("rep") > 0,
+               F.concat(F.lit("?rep="), F.col("rep").cast("string")))
+        .otherwise(F.lit("")))
+    templ = docs.select(
+        url.alias("url"),
+        F.to_timestamp(F.lit(_EPOCH)).alias("base_ts"),
+        doc_id.alias("doc_id"),
+        template_html_expr(doc_id, F.col("text")).alias("html_str"),
+        F.col("text").alias("text"),
+        F.element_at(F.array(*[F.lit(x) for x in _LANG_CYCLE]),
+                     (doc_id % 4 + 1).cast("int")).alias("lang"),
+    ).select(
+        "url",
+        (F.col("base_ts") + F.make_interval(secs=F.col("doc_id") * 137))
+        .alias("warc_ts"),
+        F.encode(F.col("html_str"), "UTF-8").alias("html"),
+        "text", "lang",
+    )
+
+    if not include_fixtures:
+        return templ
+
+    fx = fixture_rows()
+    fx_df = spark.createDataFrame(
+        [(u, s, bytearray(h), t, lg) for (u, s, h, t, lg) in fx],
+        "url string, seq long, html binary, text string, lang string",
+    ).select(
+        "url",
+        (F.to_timestamp(F.lit(_EPOCH))
+         + F.make_interval(secs=F.col("seq") * 137 + 7)).alias("warc_ts"),
+        "html", "text", "lang",
+    )
+    return fx_df.unionByName(templ)

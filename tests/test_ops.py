@@ -1,0 +1,91 @@
+"""Spark-vs-DuckDB parity for every SQL-expressible dataset op — a local
+replica of the driver's correctness gate (row count + schema + sorted
+values)."""
+
+import math
+import os
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+import duckdb  # noqa: E402
+
+from nreadability_spark.spark.ops import SQL_OPS  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from nreadability_spark.spark.session import get_spark
+    s = get_spark("ops-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from "
+            f"'{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(rows, columns):
+    """Sort columns by name, canonicalize values, sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = f"{v:.6g}"
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [columns[i] for i in order], out
+
+
+@pytest.mark.parametrize("name", sorted(SQL_OPS))
+def test_op_parity(spark, duck, name):
+    fn, oracle_sql = SQL_OPS[name]
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(oracle_sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}")
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}")
+
+    _, s_norm = normalize(spark_rows, spark_cols)
+    _, d_norm = normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3: "
+        f"{mismatches[:3]}")
+
+
+def test_ops_nonempty(spark):
+    """Guard against trivially-empty results hiding broken ops."""
+    must_be_nonempty = ["pages_by_host", "dedup_exact", "token_counts",
+                        "doc_fingerprint", "lang_id", "quality_score",
+                        "simhash", "dedup_simhash", "minhash_signatures",
+                        "dedup_minhash_lsh", "ngram_jaccard", "ann_topk",
+                        "ann_lsh_buckets", "events_hourly", "sessionize",
+                        "orders_by_nation", "top_spenders"]
+    for name in must_be_nonempty:
+        fn, _ = SQL_OPS[name]
+        assert fn(spark, SF_DIR).limit(1).count() == 1, f"{name} is empty"
