@@ -64,6 +64,39 @@ def _extract_next_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("url", "next_page_url")
 
 
+def _stitch_multipage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page chain discovery (iterative next-page join) + per-chain
+    stitching with the same kernel (W1 at dataset scale)."""
+    from nreadability_spark.spark.pages import synthesize_chained_pages
+    from nreadability_spark.spark.stitch import stitch_multipage
+    pages = synthesize_chained_pages(spark, sf_dir)
+    out = stitch_multipage(spark, pages)
+    return out.select(
+        "root_url", "extracted", "title", "n_pages",
+        F.md5(F.coalesce(F.col("content"), F.lit(""))).alias("content_md5"))
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media decode + vectorized feature extraction (stub codec)."""
+    from nreadability_spark.spark.multimodal import (extract_features,
+                                                     synthesize_media)
+    media = synthesize_media(spark, sf_dir)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "ok", "payload_bytes",
+        F.expr("transform(feature, x -> cast(floor(x * 10000) as int))")
+        .alias("feature_q"))
+
+
+def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (one-to-many binary explode)."""
+    from nreadability_spark.spark.multimodal import (sample_frames,
+                                                     synthesize_media)
+    media = synthesize_media(spark, sf_dir)
+    return sample_frames(media).select(
+        "media_id", "frame_no", F.md5("frame").alias("frame_md5"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _extract_articles(spark, "/root/testdata/sf0.001")
@@ -75,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_articles": _extract_articles,
         "extract_metrics": _extract_metrics,
         "extract_next_pages": _extract_next_pages,
+        "stitch_multipage": _stitch_multipage,
+        "media_features": _media_features,
+        "media_frames": _media_frames,
     }
     for name, (fn, _sql) in SQL_OPS.items():
         out[name] = fn

@@ -54,7 +54,7 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     # headline: full extraction pipeline, forced end-to-end
     t0 = time.perf_counter()
-    out = run_extraction(spark, pages, num_partitions=CPUS * 2)
+    out = run_extraction(spark, pages, num_partitions=CPUS * 4)
     agg = out.agg(
         F.count("*").alias("docs"),
         F.sum(F.col("extracted").cast("long")).alias("extracted")).collect()

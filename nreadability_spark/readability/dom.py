@@ -191,16 +191,27 @@ class Element(Node):
         return [c for c in self.children if isinstance(c, Element)]
 
     def descendants(self) -> Iterator["Element"]:
-        for ch in self.children:
-            if isinstance(ch, Element):
-                yield ch
-                yield from ch.descendants()
+        # iterative DFS in document order (hot path)
+        stack = [iter(self.children)]
+        while stack:
+            for ch in stack[-1]:
+                if type(ch) is Element:
+                    yield ch
+                    stack.append(iter(ch.children))
+                    break
+            else:
+                stack.pop()
 
     def descendant_nodes(self) -> Iterator[Node]:
-        for ch in self.children:
-            yield ch
-            if isinstance(ch, Element):
-                yield from ch.descendant_nodes()
+        stack = [iter(self.children)]
+        while stack:
+            for ch in stack[-1]:
+                yield ch
+                if type(ch) is Element:
+                    stack.append(iter(ch.children))
+                    break
+            else:
+                stack.pop()
 
     def ancestors(self) -> Iterator["Element"]:
         p = self.parent
@@ -212,7 +223,17 @@ class Element(Node):
     def value(self) -> str:
         """XElement.Value: concatenated descendant text."""
         parts: list[str] = []
-        _collect_text(self, parts)
+        stack = [iter(self.children)]
+        while stack:
+            for ch in stack[-1]:
+                t = type(ch)
+                if t is Text:
+                    parts.append(ch.value)
+                elif t is Element:
+                    stack.append(iter(ch.children))
+                    break
+            else:
+                stack.pop()
         return "".join(parts)
 
     @property
@@ -257,17 +278,20 @@ class Element(Node):
     def get_inner_html(self) -> str:
         return "".join(ch.to_string(pretty=False) for ch in self.children)
 
+    # NOTE: element tags are lowercase by construction (parser case-folds,
+    # all synthesized elements use lowercase), so lookups compare directly.
+
     def get_elements_by_tag_name(self, tag: str) -> list["Element"]:
         t = tag.lower()
-        return [e for e in self.descendants() if e.tag.lower() == t]
+        return [e for e in self.descendants() if e.tag == t]
 
     def count_elements_by_tag_name(self, tag: str) -> int:
         t = tag.lower()
-        return sum(1 for e in self.descendants() if e.tag.lower() == t)
+        return sum(1 for e in self.descendants() if e.tag == t)
 
     def get_children_by_tag_name(self, tag: str) -> list["Element"]:
         t = tag.lower()
-        return [e for e in self.elements() if e.tag.lower() == t]
+        return [e for e in self.elements() if e.tag == t]
 
 
 def _collect_text(el: Element, parts: list[str]) -> None:

@@ -156,12 +156,8 @@ def _declared_can_contain(parent: str, child: str) -> bool:
     return child in CONTENT_MODEL.get(parent, set())
 
 
-def can_contain(parent: str, child: str, _seen: frozenset = frozenset()) -> bool:
-    """Whether ``parent`` may directly contain ``child``.
-
-    Mirrors ElementDecl.CanContain + Group.CanContain: direct membership,
-    then recursion through declared members whose start tag is optional.
-    """
+def _can_contain_uncached(parent: str, child: str,
+                          _seen: frozenset = frozenset()) -> bool:
     if parent in EMPTY_ELEMENTS:
         return False
     if not is_known(parent) or not is_known(child):
@@ -173,6 +169,28 @@ def can_contain(parent: str, child: str, _seen: frozenset = frozenset()) -> bool
         return False
     for member in CONTENT_MODEL.get(parent, set()):
         if member in START_TAG_OPTIONAL and member not in _seen:
-            if can_contain(member, child, _seen | {member, parent}):
+            if _can_contain_uncached(member, child, _seen | {member, parent}):
                 return True
     return False
+
+
+# Precomputed known-pair matrix: the auto-close check runs per start tag.
+_CAN_CONTAIN: dict[str, frozenset] = {
+    p: frozenset(c for c in KNOWN_ELEMENTS if _can_contain_uncached(p, c))
+    for p in KNOWN_ELEMENTS
+}
+
+
+def can_contain(parent: str, child: str) -> bool:
+    """Whether ``parent`` may directly contain ``child``.
+
+    Mirrors ElementDecl.CanContain + Group.CanContain: direct membership,
+    then recursion through declared members whose start tag is optional.
+    Unknown parents or children are allowed anywhere.
+    """
+    allowed = _CAN_CONTAIN.get(parent)
+    if allowed is None:
+        return True  # unknown parent
+    if child in allowed:
+        return True
+    return child not in KNOWN_ELEMENTS  # unknown child allowed anywhere

@@ -126,8 +126,13 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     sys.setrecursionlimit(40000)  # deep tag-soup nesting
     cols = [f.name for f in OUT_SCHEMA.fields]
     for pdf in batches:
-        rows = [transcode_row(u, h) for u, h in zip(pdf["url"], pdf["html"])]
-        yield pd.DataFrame(rows, columns=cols)
+        # columnar assembly (list-of-dicts -> pandas is measurably slower)
+        data: dict[str, list] = {c: [] for c in cols}
+        for u, h in zip(pdf["url"], pdf["html"]):
+            row = transcode_row(u, h)
+            for c in cols:
+                data[c].append(row[c])
+        yield pd.DataFrame(data, columns=cols)
 
 
 def run_extraction(spark: SparkSession, pages: DataFrame,
@@ -139,7 +144,9 @@ def run_extraction(spark: SparkSession, pages: DataFrame,
     if done_urls is not None:
         df = df.join(done_urls.select("url"), "url", "left_anti")
     if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism * 2
+        # 4 waves per core: fine enough that one slow partition (huge
+        # documents cluster) can't stretch the stage tail
+        num_partitions = spark.sparkContext.defaultParallelism * 4
     # salt by full-url hash: pages of one host arrive clustered in input
     # order; xxhash64(url) spreads them uniformly
     df = df.repartition(num_partitions, F.xxhash64("url"))

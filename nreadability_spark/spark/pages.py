@@ -156,6 +156,56 @@ def template_url_py(doc_id: int) -> str:
 _LANG_CYCLE = ["en", "pl", "de", "fr"]
 
 
+def chained_page_py(doc_id: int, text: str, page_no: int,
+                    n_pages: int) -> tuple[str, str]:
+    """(url, html) for page ``page_no`` of an ``n_pages`` article chain.
+    Pages link forward via a next-page anchor the D2 detector scores >= 50."""
+    base = template_url_py(doc_id)
+    url = base if page_no == 1 else f"{base}?page={page_no}"
+    title = f"Article {doc_id}"
+    t = text or ""
+    body = "".join(
+        f"<p>Page {page_no} section {k}: {t[:200]}, {t[:90]}.</p>"
+        for k in range(1, 4))
+    next_link = ""
+    if page_no < n_pages:
+        next_link = (f'<a href="{base}?page={page_no + 1}">'
+                     f"Next Page {page_no + 1}</a>")
+    return url, (
+        f"<html><head><title>{title} | Site {doc_id % 97}</title></head>"
+        f'<body><div id="main" class="article content">'
+        f"<h1>{title}</h1>{body}{next_link}</div>"
+        f'<div class="footer comment">junk</div></body></html>')
+
+
+def synthesize_chained_pages(spark: SparkSession, sf_dir: str,
+                             n_pages: int = 3,
+                             every: int = 5) -> DataFrame:
+    """Multi-page chain corpus: every ``every``-th document becomes an
+    ``n_pages`` article; all other documents stay single-page. Built in a
+    distributed pass (one input row fans out to its chain pages)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            urls, htmls = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                total = n_pages if doc_id % every == 0 else 1
+                for k in range(1, total + 1):
+                    u, h = chained_page_py(doc_id, text, k, total)
+                    urls.append(u)
+                    htmls.append(h.encode("utf-8"))
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    from .job import ensure_package_shipped
+    ensure_package_shipped(spark)
+    return docs.mapInPandas(gen, "url string, html binary")
+
+
 def synthesize_pages(spark: SparkSession, sf_dir: str,
                      include_fixtures: bool = True,
                      replicate: int = 1) -> DataFrame:

@@ -1,0 +1,63 @@
+"""Structured Streaming wrappers around the extraction pipeline.
+
+The reference is batch-per-document; the streaming lift is exactly the
+``foreachBatch``-free form: readStream over a pages directory -> the same
+mapInPandas extraction -> writeStream sink, plus a watermarked windowed
+metrics stream for late data. Used with Trigger.AvailableNow for
+backfill-style runs and with default micro-batches for continuous ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .job import OUT_SCHEMA, _extract_batches, ensure_package_shipped
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
+             "text string, lang string")
+
+
+def read_pages_stream(spark: SparkSession, source_dir: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    return (spark.readStream.schema(PAGES_DDL)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(source_dir))
+
+
+def extract_stream(pages_stream: DataFrame) -> DataFrame:
+    """Streaming extraction: same kernel, same output schema; no shuffle
+    (stateless map), so micro-batch latency is the batch's own compute."""
+    spark = pages_stream.sparkSession
+    ensure_package_shipped(spark)
+    return (pages_stream.select("url", "html")
+            .mapInPandas(_extract_batches, OUT_SCHEMA))
+
+
+def run_extract_stream(spark: SparkSession, source_dir: str, out_dir: str,
+                       checkpoint_dir: str, available_now: bool = True):
+    """Launch the extraction stream to a parquet sink; returns the query."""
+    stream = extract_stream(read_pages_stream(spark, source_dir))
+    writer = (stream.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_metrics_stream(spark: SparkSession, source_dir: str,
+                            window: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window ingest metrics over page timestamps —
+    late rows beyond the watermark are dropped, state is bounded."""
+    pages = read_pages_stream(spark, source_dir)
+    return (pages
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window), F.col("lang"))
+            .agg(F.count("*").alias("docs"),
+                 F.sum(F.length("html")).alias("bytes"))
+            .select(F.col("window.start").alias("window_start"),
+                    "lang", "docs", "bytes"))

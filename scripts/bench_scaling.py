@@ -1,0 +1,149 @@
+"""Two-parallelism scaling proof (north rule: efficiency >= 0.8 from N to
+4N executors). In this sandbox the same job runs at several local[N]
+levels on identical input; a pure-Python multiprocessing control measures
+the box's own scaling ceiling (memory bandwidth / frequency), which a
+multi-executor cluster would not share.
+
+Usage: python scripts/bench_scaling.py
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def _burn(n: int) -> float:
+    t0 = time.perf_counter()
+    s = 0
+    text = "the quick, brown fox. jumps over, the lazy dog! " * 50
+    for i in range(n):
+        s += len(text.split()) + text.count(",") + hash(text[i % 100:])
+    return time.perf_counter() - t0
+
+
+def hardware_control(levels: list[int], n: int = 20000) -> dict[int, float]:
+    """Docs-per-sec-like rate for a pure-Python string workload at each
+    process count — Spark-free scaling ceiling of this box."""
+    rates = {}
+    for k in levels:
+        with mp.Pool(k) as pool:
+            t0 = time.perf_counter()
+            pool.map(_burn, [n] * k)
+            wall = time.perf_counter() - t0
+        rates[k] = k * n / wall
+    return rates
+
+
+def measure(cores: int, pages_path: str, runs: int = 3) -> dict:
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.session import get_spark
+    from nreadability_spark.spark.job import run_extraction
+
+    spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]")
+    try:
+        pages = spark.read.parquet(pages_path)
+        n = pages.count()
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            out = run_extraction(spark, pages, num_partitions=cores * 4)
+            row = out.agg(F.count("*").alias("docs")).collect()[0]
+            dt = time.perf_counter() - t0
+            assert row["docs"] == n
+            if best is None or dt < best:
+                best = dt
+        return {"cpus": cores, "docs": n, "wall_sec": round(best, 2),
+                "docs_per_sec": round(n / best, 1)}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--replicate", type=int, default=int(
+        os.environ.get("BENCH_REPLICATE", "16")))
+    ap.add_argument("--levels", default="2,8,32")
+    args = ap.parse_args()
+    levels = [int(x) for x in args.levels.split(",")]
+
+    import bench
+    from nreadability_spark.spark.session import get_spark
+    bench.REPLICATE = args.replicate
+    spark = get_spark("scaling-prep", master=f"local[{max(levels)}]")
+    try:
+        pages_path = bench.materialize_pages(spark, args.sf, args.replicate)
+    finally:
+        spark.stop()
+
+    results = {c: measure(c, pages_path) for c in levels}
+    control = hardware_control(levels)
+
+    pairs = []
+    for lo, hi in zip(levels, levels[1:]):
+        factor = hi / lo
+        eff = (results[hi]["docs_per_sec"]
+               / results[lo]["docs_per_sec"]) / factor
+        ceiling = (control[hi] / control[lo]) / factor
+        pairs.append({"from": lo, "to": hi, "factor": factor,
+                      "efficiency": round(eff, 3),
+                      "hw_ceiling": round(ceiling, 3),
+                      "efficiency_vs_ceiling": round(eff / ceiling, 3)})
+
+    out = {"levels": results, "pairs": pairs,
+           "control_rates": {k: round(v) for k, v in control.items()},
+           "sf": args.sf, "replicate": args.replicate}
+    print(json.dumps(out))
+
+    os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
+    rows = "\n".join(
+        f"| local[{c}] | {r['docs']} | {r['wall_sec']} | {r['docs_per_sec']} |"
+        for c, r in results.items())
+    prows = "\n".join(
+        f"| {p['from']}→{p['to']} | {p['efficiency']} | {p['hw_ceiling']} "
+        f"| {p['efficiency_vs_ceiling']} |"
+        for p in pairs)
+    with open(os.path.join(_REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH baseline — extraction throughput & scaling
+
+Input: pages table synthesized from `{args.sf}` (documents x{args.replicate}
+replicas + the 42 reference fixture pages, 3 KB–444 KB each), materialized
+to parquet. Measured pipeline: scan -> select(url, html) -> salted
+repartition(xxhash64(url)) -> mapInPandas extraction -> count action.
+Identical input & code at every parallelism level (the sandbox stand-in
+for N vs 4N executors per BASELINE.json north_rule). Best of 3 runs.
+
+| config | docs | wall (s) | docs/sec |
+|---|---|---|---|
+{rows}
+
+## Scaling efficiency (N -> 4N)
+
+A single box shares memory bandwidth and turbo headroom across all
+local[N] threads — unlike a multi-executor cluster where each executor
+brings its own. The *hardware ceiling* column is the same N->4N ratio
+measured for a Spark-free pure-Python string workload (multiprocessing)
+on this box; job efficiency relative to that ceiling is the
+cluster-relevant number.
+
+| cores | job efficiency | hw ceiling (same box) | job / ceiling |
+|---|---|---|---|
+{prows}
+
+Reference-side numbers: the reference publishes none (SURVEY.md §6); the
+throughput targets come from BASELINE.json.
+""")
+
+
+if __name__ == "__main__":
+    main()

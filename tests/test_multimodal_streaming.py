@@ -1,0 +1,121 @@
+"""Multimodal plumbing + Structured Streaming extraction tests."""
+
+import os
+import shutil
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from nreadability_spark.spark.session import get_spark
+    s = get_spark("mm-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+def test_media_synthesis_deterministic(spark):
+    from nreadability_spark.spark.multimodal import synthesize_media
+    a = synthesize_media(spark, SF_DIR)
+    assert a.count() == 500
+    kinds = {r["kind"] for r in a.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    h1 = a.selectExpr("sum(hash(media_id, kind, md5(payload))) h") \
+        .collect()[0]["h"]
+    h2 = synthesize_media(spark, SF_DIR) \
+        .selectExpr("sum(hash(media_id, kind, md5(payload))) h") \
+        .collect()[0]["h"]
+    assert h1 == h2
+
+
+def test_feature_extraction(spark):
+    from nreadability_spark.spark.multimodal import (extract_features,
+                                                     synthesize_media)
+    media = synthesize_media(spark, SF_DIR)
+    feats = extract_features(media).cache()
+    assert feats.count() == 500
+    ok = feats.where("ok = 'ok'")
+    assert ok.count() == 500
+    row = ok.first()
+    assert len(row["feature"]) == 16
+    norm = sum(x * x for x in row["feature"])
+    assert abs(norm - 1.0) < 1e-5
+    feats.unpersist()
+
+
+def test_feature_extraction_bad_payload(spark):
+    from nreadability_spark.spark.multimodal import (FEATURES_SCHEMA,
+                                                     extract_features)
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not-a-codec-payload-at-all"))],
+        "media_id long, payload binary")
+    out = extract_features(bad).collect()
+    assert len(out) == 1
+    assert out[0]["ok"].startswith("decode_error")
+    assert out[0]["feature"] is None
+
+
+def test_frame_sampling(spark):
+    from nreadability_spark.spark.multimodal import (sample_frames,
+                                                     synthesize_media)
+    media = synthesize_media(spark, SF_DIR)
+    frames = sample_frames(media).cache()
+    n_videos = media.where("kind = 'video'").count()
+    assert frames.select("media_id").distinct().count() == n_videos
+    per = frames.groupBy("media_id").count().agg({"count": "min"}) \
+        .collect()[0][0]
+    assert per >= 1
+    frames.unpersist()
+
+
+def test_streaming_extraction(spark, tmp_path_factory):
+    from nreadability_spark.spark.pages import synthesize_pages
+    from nreadability_spark.spark.streaming import run_extract_stream
+
+    base = str(tmp_path_factory.mktemp("stream"))
+    src, out, ckpt = (os.path.join(base, d)
+                      for d in ("src", "out", "ckpt"))
+    pages = synthesize_pages(spark, SF_DIR, include_fixtures=False)
+    n = pages.count()
+    pages.repartition(4).write.parquet(src)
+
+    q = run_extract_stream(spark, src, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    result = spark.read.parquet(out)
+    assert result.count() == n
+    assert result.where("extracted = true").count() > 0
+
+    # restart with no new data: checkpoint prevents reprocessing
+    q2 = run_extract_stream(spark, src, out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_windowed_metrics_stream(spark, tmp_path_factory):
+    from nreadability_spark.spark.pages import synthesize_pages
+    from nreadability_spark.spark.streaming import windowed_metrics_stream
+
+    base = str(tmp_path_factory.mktemp("wstream"))
+    src, out, ckpt = (os.path.join(base, d)
+                      for d in ("src", "out", "ckpt"))
+    pages = synthesize_pages(spark, SF_DIR, include_fixtures=False)
+    pages.repartition(2).write.parquet(src)
+
+    metrics = windowed_metrics_stream(spark, src)
+    q = (metrics.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    # append mode only emits windows the watermark has passed; with
+    # availableNow the final watermark closes all but the last window(s)
+    assert got.count() >= 1
+    assert got.agg({"docs": "sum"}).collect()[0][0] > 0
+    shutil.rmtree(base, ignore_errors=True)

@@ -1,0 +1,60 @@
+"""Dataset-level multi-page stitching == single-node WebTranscoder,
+byte-for-byte, over the reference's 11 saved page chains."""
+
+import os
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from nreadability_spark.readability.webtranscoder import WebTranscoder  # noqa: E402
+from tests.test_webtranscoder import URLS, make_fetcher  # noqa: E402
+
+WEB_DIR = "/root/reference/Carbon.Readability.Tests/SampleWebInput"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from nreadability_spark.spark.session import get_spark
+    s = get_spark("stitch-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+def load_web_pages():
+    rows = []
+    for num, urls in URLS.items():
+        for page_no, url in enumerate(urls, start=1):
+            path = os.path.join(WEB_DIR,
+                                f"SampleInput_{num:02d}_{page_no}.html")
+            with open(path, "rb") as f:
+                rows.append((url, bytearray(f.read())))
+    return rows
+
+
+def test_stitch_matches_single_node(spark):
+    from nreadability_spark.spark.stitch import stitch_multipage
+    rows = load_web_pages()
+    pages = spark.createDataFrame(rows, "url string, html binary")
+
+    out = {r["root_url"]: r
+           for r in stitch_multipage(spark, pages).collect()}
+
+    checked = 0
+    for num, urls in URLS.items():
+        root = urls[0]
+        local = WebTranscoder(fetcher=make_fetcher(num, urls)) \
+            .transcode(root)
+        row = out.get(root)
+        if row is None:
+            # single-page result (no next link found): fine only if the
+            # local run also never stitched
+            assert "readability-page-2" not in (local.content or ""), (
+                f"chain {num}: spark missed a multi-page chain")
+            continue
+        assert row["error"] is None, f"chain {num}: {row['error']}"
+        assert row["content"] == local.content, f"chain {num} differs"
+        assert row["title"] == local.title
+        assert row["extracted"] == local.content_extracted
+        checked += 1
+    assert checked >= 8  # most chains are genuinely multi-page
