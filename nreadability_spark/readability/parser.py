@@ -31,6 +31,7 @@ P19  whitespace-only text nodes dropped
 from __future__ import annotations
 
 import html.entities
+import re
 
 from . import dtd
 from .dom import Comment, Document, Element, ProcessingInstruction, Text
@@ -147,14 +148,11 @@ def expand_entities(s: str) -> str:
 _ATTR_NAME_END = set(" \t\n\r\f=/><'\"")
 _TAG_NAME_END = set(" \t\n\r\f/><")
 
+_ATTR_NAME_RE = re.compile(r"(?:[^\W\d]|:)[\w.:\-]*\Z")
+
 
 def _valid_attr_name(name: str) -> bool:
-    if not name:
-        return False
-    c0 = name[0]
-    if not (c0.isalpha() or c0 in "_:"):
-        return False
-    return all(ch.isalnum() or ch in "._:-" for ch in name)
+    return _ATTR_NAME_RE.match(name) is not None
 
 
 def _valid_tag_name(name: str) -> bool:
@@ -218,7 +216,9 @@ class _Tokenizer:
         k = j
         while k < n and s[k] not in _TAG_NAME_END:
             k += 1
-        name = s[j:k].lower()
+        name = s[j:k]
+        if not name.islower():
+            name = name.lower()
         gt = s.find(">", k)
         self.i = n if gt == -1 else gt + 1
         if name:
@@ -311,7 +311,9 @@ class _Tokenizer:
         k = j
         while k < n and s[k] not in _TAG_NAME_END:
             k += 1
-        name = s[j:k].lower()
+        name = s[j:k]
+        if not name.islower():
+            name = name.lower()
         attrs: dict[str, str] = {}
         self_closed = False
         i = k
@@ -340,7 +342,9 @@ class _Tokenizer:
             a = i
             while i < n and s[i] not in _ATTR_NAME_END:
                 i += 1
-            aname = s[a:i].lower()
+            aname = s[a:i]
+            if not aname.islower():
+                aname = aname.lower()
             # skip ws before possible '='
             while i < n and s[i] in " \t\n\r\f":
                 i += 1
@@ -367,8 +371,9 @@ class _Tokenizer:
                     value = s[v:i]
             else:
                 value = aname  # valueless attribute: value = its own name
-            if _valid_attr_name(aname) and aname not in attrs:
-                attrs[aname] = expand_entities(value)
+            if aname not in attrs and _valid_attr_name(aname):
+                attrs[aname] = expand_entities(value) if "&" in value \
+                    else value
         else:
             i = n
         self.i = i
