@@ -178,6 +178,13 @@ class _Tokenizer:
         self.s = s.replace("\x00", " ").replace("\r\n", "\n").replace("\r", "\n")
         self.i = 0
         self.n = len(self.s)
+        self._low: str | None = None  # lazily lowercased copy (CDATA scans)
+
+    @property
+    def low(self) -> str:
+        if self._low is None:
+            self._low = self.s.lower()
+        return self._low
 
     def tokens(self):
         s, n = self.s, self.n
@@ -392,7 +399,7 @@ class _Tokenizer:
         s, n = self.s, self.n
         i = self.i
         needle = "</" + name
-        low = s.lower()
+        low = self.low
         while True:
             j = low.find(needle, i)
             if j == -1:
@@ -406,6 +413,10 @@ class _Tokenizer:
             raw = s[i:j]
             gt = s.find(">", after)
             self.i = n if gt == -1 else gt + 1
+            if "<![CDATA[" in raw or "]]>" in raw:
+                # nested CDATA markers are stripped (P15); also keeps the
+                # serialized form re-parseable
+                raw = raw.replace("<![CDATA[", "").replace("]]>", "")
             if raw:
                 yield ("rawtext", (name, raw))
             return

@@ -934,37 +934,48 @@ def _get_article_content_element_hint(url: str) -> Optional[str]:
 
 
 def serialize_document(document: Document,
-                       pretty_print: bool = False) -> str:
+                       pretty_print: bool = False,
+                       dont_include_content_type_meta: bool = False,
+                       dont_include_mobile_meta: bool = False,
+                       dont_include_generator_meta: bool = False) -> str:
     """SgmlDomSerializer parity (SgmlDomSerializer.cs:38-148): head-level
-    meta surgery then stringify."""
-    root = document.root
-    if root is None:
-        raise ValueError("The document must have a root.")
-    if root.tag != "html":
-        raise ValueError("The document's root must be an html element.")
-    heads = root.get_children_by_tag_name("head")
-    if heads:
-        head = heads[0]
-    else:
-        head = Element("head")
-        root.add_first(head)
+    meta surgery then stringify. The three flags mirror
+    DomSerializationParams' DontInclude* members (all default false)."""
+    if not (dont_include_content_type_meta and dont_include_mobile_meta
+            and dont_include_generator_meta):
+        root = document.root
+        if root is None:
+            raise ValueError("The document must have a root.")
+        if root.tag != "html":
+            raise ValueError("The document's root must be an html element.")
+        heads = root.get_children_by_tag_name("head")
+        if heads:
+            head = heads[0]
+        else:
+            head = Element("head")
+            root.add_first(head)
 
-    for meta in head.get_children_by_tag_name("meta"):
-        if meta.get_attribute("http-equiv", "").lower() == "content-type":
-            meta.remove()
-            break
-    for meta in head.get_children_by_tag_name("meta"):
-        if meta.get_attribute("name", "").lower() == "viewport":
-            meta.remove()
-            break
-    generator = None
-    for meta in head.get_children_by_tag_name("meta"):
-        if meta.get_attribute("name", "").lower() == "generator":
-            generator = meta
-            break
-    if generator is not None:
-        generator.remove()
-        head.add_first(generator)
+        if not dont_include_content_type_meta:
+            for meta in head.get_children_by_tag_name("meta"):
+                if meta.get_attribute("http-equiv", "").lower() \
+                        == "content-type":
+                    meta.remove()
+                    break
+        # viewport removal is unconditional in the reference (the mobile
+        # param is ignored in ProcessMobileSpecificMetaElements)
+        for meta in head.get_children_by_tag_name("meta"):
+            if meta.get_attribute("name", "").lower() == "viewport":
+                meta.remove()
+                break
+        if not dont_include_generator_meta:
+            generator = None
+            for meta in head.get_children_by_tag_name("meta"):
+                if meta.get_attribute("name", "").lower() == "generator":
+                    generator = meta
+                    break
+            if generator is not None:
+                generator.remove()
+                head.add_first(generator)
 
     return document.to_string(pretty=pretty_print)
 

@@ -43,7 +43,8 @@ def hardware_control(levels: list[int], n: int = 20000) -> dict[int, float]:
     return rates
 
 
-def measure(cores: int, pages_path: str, runs: int = 3) -> dict:
+def measure_once(cores: int, pages_path: str,
+                 runs: int = int(os.environ.get("BENCH_RUNS", "1"))) -> tuple:
     from pyspark.sql import functions as F
     from nreadability_spark.spark.session import get_spark
     from nreadability_spark.spark.job import run_extraction
@@ -61,10 +62,18 @@ def measure(cores: int, pages_path: str, runs: int = 3) -> dict:
             assert row["docs"] == n
             if best is None or dt < best:
                 best = dt
-        return {"cpus": cores, "docs": n, "wall_sec": round(best, 2),
-                "docs_per_sec": round(n / best, 1)}
+        return n, best
     finally:
         spark.stop()
+
+
+def measure(cores: int, pages_path: str, cycles_results: list) -> dict:
+    """Fold interleaved cycle samples into a best-per-level figure."""
+    n = cycles_results[0][0]
+    best = min(dt for _n, dt in cycles_results)
+    return {"cpus": cores, "docs": n, "wall_sec": round(best, 2),
+            "docs_per_sec": round(n / best, 1),
+            "samples": [round(dt, 2) for _n, dt in cycles_results]}
 
 
 def main() -> None:
@@ -86,7 +95,15 @@ def main() -> None:
     finally:
         spark.stop()
 
-    results = {c: measure(c, pages_path) for c in levels}
+    # interleave levels across cycles: the box's background noise (CPU
+    # steal, thermal state) then hits all levels roughly equally instead
+    # of biasing whichever level ran during a slow window
+    cycles = int(os.environ.get("BENCH_CYCLES", "2"))
+    samples: dict[int, list] = {c: [] for c in levels}
+    for _ in range(cycles):
+        for c in levels:
+            samples[c].append(measure_once(c, pages_path))
+    results = {c: measure(c, pages_path, samples[c]) for c in levels}
     control = hardware_control(levels)
 
     pairs = []

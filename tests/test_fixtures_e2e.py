@@ -48,6 +48,13 @@ EXPECTED_SUBSTRINGS = {
     6: [  # nbsp sample
         "1.  Item 1.",
     ],
+    7: [  # nplusonemag.com (disabled in the reference suite; passes here
+        # modulo source-newline placement inside two phrases)
+        "stretched out storylines",
+        "It is no longer a smart social move to brag about",
+        "not owning a television.",
+        "course, some habits can be hard to give up completely.",
+    ],
     8: [  # NYT
         "freed from house arrest on Saturday, setting her on the path",
         "confrontation with the generals who had kept her out of the public eye",
@@ -151,7 +158,10 @@ EXPECTED_SUBSTRINGS = {
     ],
 }
 
-ENABLED_CASES = [1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 14, 15, 16]
+# case 7 is disabled in the reference suite with a TODO
+# (Tests/NReadabilityTranscoderTests.cs:451); this engine passes its
+# assertions, so it is enabled here as bonus coverage
+ENABLED_CASES = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 14, 15, 16]
 
 
 def load_sample(num: int) -> str:
