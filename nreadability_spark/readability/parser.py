@@ -175,9 +175,16 @@ class _Tokenizer:
     """Yields (kind, payload) events over raw HTML."""
 
     def __init__(self, s: str):
-        self.s = s.replace("\x00", " ").replace("\r\n", "\n").replace("\r", "\n")
+        # P1 NUL->space and XML newline normalization; guarded so clean
+        # fragments (the common set_inner_html round-trip case) avoid the
+        # full-string copies
+        if "\x00" in s:
+            s = s.replace("\x00", " ")
+        if "\r" in s:
+            s = s.replace("\r\n", "\n").replace("\r", "\n")
+        self.s = s
         self.i = 0
-        self.n = len(self.s)
+        self.n = len(s)
         self._low: str | None = None  # lazily lowercased copy (CDATA scans)
 
     @property

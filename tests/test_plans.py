@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(column pruning reaching the scan, exactly one exchange in the extraction
+path, broadcast joins for small dims, map-side partial aggregation) must
+not silently regress."""
+
+import contextlib
+import io
+import os
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from nreadability_spark.spark.session import get_spark
+    s = get_spark("plan-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def node_count(plan: str, node: str) -> int:
+    """Count physical nodes by their '(n) NodeName' detail headers."""
+    import re
+    return len(re.findall(rf"^\(\d+\) {node}", plan, re.MULTILINE))
+
+
+def test_extraction_plan_shape(spark):
+    from nreadability_spark.spark.job import run_extraction
+    from nreadability_spark.spark.pages import synthesize_pages
+    pages = synthesize_pages(spark, SF_DIR, include_fixtures=False)
+    plan = plan_of(run_extraction(spark, pages))
+    # the Python stage is fed by exactly one exchange (the salted
+    # repartition); no second shuffle sneaks in
+    assert node_count(plan, "Exchange") == 1
+    assert "MapInPandas" in plan
+    assert "xxhash64" in plan
+
+
+def test_extraction_scan_prunes_columns(spark):
+    """Reading from a materialized pages table must only scan url+html."""
+    from nreadability_spark.spark.job import run_extraction
+    from nreadability_spark.spark.pages import synthesize_pages
+    path = "/tmp/plan_prune_pages.parquet"
+    if not os.path.exists(path):
+        synthesize_pages(spark, SF_DIR, include_fixtures=False) \
+            .write.mode("overwrite").parquet(path)
+    pages = spark.read.parquet(path)
+    plan = plan_of(run_extraction(spark, pages))
+    assert "ReadSchema: struct<url:string,html:binary>" in plan
+    # the unused columns never leave the scan
+    assert "warc_ts" not in plan
+    assert "lang" not in plan
+
+
+def test_broadcast_join_for_small_dims(spark):
+    from nreadability_spark.spark.ops import orders_by_nation
+    plan = plan_of(orders_by_nation(spark, SF_DIR))
+    assert node_count(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_ann_topk_broadcasts_query_side(spark):
+    from nreadability_spark.spark.ops import ann_topk
+    plan = plan_of(ann_topk(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")) \
+        .where("o_custkey = 42").select("o_orderkey")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,42)]" \
+        in plan
