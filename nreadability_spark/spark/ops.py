@@ -532,6 +532,57 @@ def _ann_lsh_sql_duck() -> str:
 ANN_LSH_BUCKETS_SQL = _ann_lsh_sql_duck()
 
 
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH bucket prefilter, then exact
+    integer-quantized cosine (milli-units) — the scale path never compares
+    across buckets."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.selectExpr("vec_id", f"{_QVEC} as qv")
+    buckets = ann_lsh_buckets(spark, sf_dir)
+    side = q.join(buckets, "vec_id")
+    a = side.selectExpr("vec_id as id1", "qv as v1", "bucket")
+    b = side.selectExpr("vec_id as id2", "qv as v2", "bucket")
+    pairs = (a.join(b, "bucket").where(F.col("id1") < F.col("id2"))
+             .selectExpr(
+                 "id1", "id2",
+                 "aggregate(zip_with(v1, v2, (x, y) -> x * y), 0L, "
+                 "(acc, v) -> acc + v) as dot",
+                 "aggregate(v1, 0L, (acc, x) -> acc + x * x) as n1",
+                 "aggregate(v2, 0L, (acc, x) -> acc + x * x) as n2"))
+    return (pairs.selectExpr(
+        "cast(id1 as bigint) as id1", "cast(id2 as bigint) as id2",
+        "cast(floor(dot * 1000.0 / sqrt(cast(n1 as double) "
+        "* cast(n2 as double))) as bigint) as cosine_milli")
+        .where(F.col("cosine_milli") >= 250))
+
+
+DEDUP_EMBEDDING_SQL = f"""
+    with q as (select vec_id, {_QVEC_DUCK} as qv from embeddings),
+    buckets as ({ANN_LSH_BUCKETS_SQL}),
+    side as (select q.vec_id, q.qv, b.bucket
+             from q join buckets b on q.vec_id = b.vec_id),
+    pairs as (
+      select a.vec_id as id1, b.vec_id as id2,
+             cast(list_dot_product(list_transform(a.qv, x -> x::double),
+                                   list_transform(b.qv, x -> x::double))
+                  as bigint) as dot,
+             cast(list_dot_product(list_transform(a.qv, x -> x::double),
+                                   list_transform(a.qv, x -> x::double))
+                  as bigint) as n1,
+             cast(list_dot_product(list_transform(b.qv, x -> x::double),
+                                   list_transform(b.qv, x -> x::double))
+                  as bigint) as n2
+      from side a join side b
+        on a.bucket = b.bucket and a.vec_id < b.vec_id
+    )
+    select cast(id1 as bigint) as id1, cast(id2 as bigint) as id2,
+           cast(floor(dot * 1000.0 / sqrt(n1::double * n2::double))
+                as bigint) as cosine_milli
+    from pairs
+    where floor(dot * 1000.0 / sqrt(n1::double * n2::double)) >= 250
+"""
+
+
 # --- events: windowed aggregation / sessionization ------------------------------
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,6 +734,7 @@ SQL_OPS = {
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_BUCKETS_SQL),
+    "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),

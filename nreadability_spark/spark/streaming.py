@@ -47,6 +47,40 @@ def run_extract_stream(spark: SparkSession, source_dir: str, out_dir: str,
     return writer.start()
 
 
+HOST_STATE_SCHEMA = "docs long, bytes long"
+HOST_OUT_SCHEMA = "host string, docs long, bytes long"
+
+
+def _update_host_state(key, pdfs, state):
+    """applyInPandasWithState update fn: running per-host document and
+    byte counters across micro-batches (custom stateful operator)."""
+    import pandas as pd
+    docs, nbytes = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        docs += len(pdf)
+        nbytes += int(pdf["html_len"].sum())
+    state.update((docs, nbytes))
+    yield pd.DataFrame({"host": [key[0]], "docs": [docs],
+                        "bytes": [nbytes]})
+
+
+def host_totals_stream(pages_stream: DataFrame) -> DataFrame:
+    """Stateful per-host running totals via applyInPandasWithState — the
+    pattern for custom stateful operators (dedupe windows, quota tracking)
+    that watermarked aggregations can't express."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    hosts = pages_stream.select(
+        F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"),
+        F.length("html").alias("html_len"))
+    return (hosts.groupBy("host")
+            .applyInPandasWithState(
+                _update_host_state,
+                outputStructType=HOST_OUT_SCHEMA,
+                stateStructType=HOST_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def windowed_metrics_stream(spark: SparkSession, source_dir: str,
                             window: str = "1 hour",
                             watermark: str = "2 hours") -> DataFrame:

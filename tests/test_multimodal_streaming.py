@@ -97,6 +97,49 @@ def test_streaming_extraction(spark, tmp_path_factory):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_stateful_host_totals_stream(spark, tmp_path_factory):
+    """applyInPandasWithState running totals must converge to the batch
+    groupBy result after draining the source."""
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.pages import synthesize_pages
+    from nreadability_spark.spark.streaming import (host_totals_stream,
+                                                    read_pages_stream)
+
+    base = str(tmp_path_factory.mktemp("sstream"))
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    pages = synthesize_pages(spark, SF_DIR, include_fixtures=False).cache()
+    pages.repartition(4).write.parquet(src)
+
+    stream = host_totals_stream(read_pages_stream(spark, src,
+                                                  max_files_per_trigger=2))
+    # update-mode stateful output; parquet sink requires append, so emit
+    # through foreachBatch (the standard pattern for update-mode sinks)
+    def sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    # last emitted row per host == final running total == batch truth
+    got = spark.read.parquet(out)
+    final = {r["host"]: (r["docs"], r["bytes"])
+             for r in got.groupBy("host")
+             .agg(F.max("docs").alias("docs"), F.max("bytes").alias("bytes"))
+             .collect()}
+    truth = {r["host"]: (r["docs"], r["bytes"])
+             for r in pages.select(
+                 F.regexp_extract("url", r"https?://([^/]+)/", 1)
+                 .alias("host"), F.length("html").alias("l"))
+             .groupBy("host")
+             .agg(F.count("*").alias("docs"), F.sum("l").alias("bytes"))
+             .collect()}
+    assert final == truth
+    pages.unpersist()
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_windowed_metrics_stream(spark, tmp_path_factory):
     from nreadability_spark.spark.pages import synthesize_pages
     from nreadability_spark.spark.streaming import windowed_metrics_stream
