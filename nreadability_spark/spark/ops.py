@@ -314,8 +314,9 @@ _SHINGLES_DUCK = ("case when len({t}) >= 3 then list_transform(range(1, len({t})
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
-    sh = corpus.selectExpr("doc_id",
-                           f"explode({_SHINGLES}) as shingle").distinct()
+    # no distinct before the min-aggregation: min() is insensitive to
+    # duplicate shingles, and dropping it saves a full shuffle
+    sh = corpus.selectExpr("doc_id", f"explode({_SHINGLES}) as shingle")
     sh = sh.selectExpr(
         "doc_id",
         f"{_H60.format(col='shingle')} % {_SHINGLE_MOD} as sh")
