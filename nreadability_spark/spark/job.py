@@ -91,11 +91,11 @@ def ensure_package_shipped(spark: SparkSession) -> None:
 def transcode_row(url: Optional[str], html: Optional[bytes]) -> dict:
     """Extract one document; never raises (failures become rows)."""
     from nreadability_spark.readability import transcode
+    from nreadability_spark.readability.encoding import decode_html_bytes
     t0 = time.perf_counter_ns()
     nbytes = len(html) if html is not None else 0
     try:
-        text = html.decode("utf-8", errors="replace") if html is not None \
-            else ""
+        text = decode_html_bytes(bytes(html)) if html is not None else ""
         result = transcode(text, url or None)
         return {
             "url": url,

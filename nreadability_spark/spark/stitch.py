@@ -87,11 +87,13 @@ def _stitch_group(pdf: pd.DataFrame) -> pd.DataFrame:
     sys.setrecursionlimit(40000)
     from nreadability_spark.readability.webtranscoder import WebTranscoder
 
+    from nreadability_spark.readability.encoding import decode_html_bytes
+
     root = pdf["root_url"].iloc[0]
     page_map = {}
     for url, html in zip(pdf["url"], pdf["html"]):
         if html is not None:
-            page_map[url] = bytes(html).decode("utf-8", errors="replace")
+            page_map[url] = decode_html_bytes(bytes(html))
 
     def fetch(url: str):
         return page_map.get(url)

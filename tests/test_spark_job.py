@@ -62,11 +62,12 @@ def test_extraction_byte_identity_vs_local_oracle(spark, pages):
     inputs = {r["url"]: bytes(r["html"]) for r in pages.collect()}
     assert set(results) == set(inputs)
 
+    from nreadability_spark.readability.encoding import decode_html_bytes
     checked = 0
     for url, html in inputs.items():
         row = results[url]
         try:
-            oracle = transcode(html.decode("utf-8", errors="replace"), url)
+            oracle = transcode(decode_html_bytes(html), url)
             assert row["error"] is None, f"{url}: spark errored, oracle not"
             assert row["content_text"] == oracle.content_text, url
             assert row["content"] == oracle.content, url

@@ -40,10 +40,24 @@ def test_stitch_matches_single_node(spark):
     out = {r["root_url"]: r
            for r in stitch_multipage(spark, pages).collect()}
 
+    from nreadability_spark.readability.encoding import decode_html_bytes
+
+    def decoded_fetcher(num, urls):
+        def fetch(url):
+            try:
+                page_no = urls.index(url) + 1
+            except ValueError:
+                return None
+            path = os.path.join(WEB_DIR,
+                                f"SampleInput_{num:02d}_{page_no}.html")
+            with open(path, "rb") as f:
+                return decode_html_bytes(f.read())
+        return fetch
+
     checked = 0
     for num, urls in URLS.items():
         root = urls[0]
-        local = WebTranscoder(fetcher=make_fetcher(num, urls)) \
+        local = WebTranscoder(fetcher=decoded_fetcher(num, urls)) \
             .transcode(root)
         row = out.get(root)
         if row is None:
