@@ -21,8 +21,14 @@ from typing import Iterator, Optional
 
 
 def escape_text(s: str) -> str:
-    return (s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-            .replace("\r", "&#xD;"))
+    """Text-node escaping + newline handling matching XmlWriter's default
+    NewLineHandling.Replace: newlines in text content are written as
+    CRLF (attribute values entitize instead, see escape_attr)."""
+    s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    if "\n" in s or "\r" in s:
+        s = (s.replace("\r\n", "\n").replace("\r", "\n")
+             .replace("\n", "\r\n"))
+    return s
 
 
 def escape_attr(s: str) -> str:
@@ -402,9 +408,9 @@ def _write_pretty(node: Node, out: list[str], depth: int) -> None:
             out.append(f"</{node.tag}>")
         else:
             for ch in node.children:
-                out.append("\n")
+                out.append("\r\n")  # writer newlines are CRLF (.NET default)
                 _write_pretty(ch, out, depth + 1)
-            out.append("\n")
+            out.append("\r\n")
             out.append(indent)
             out.append(f"</{node.tag}>")
     else:
