@@ -229,17 +229,14 @@ class Element(Node):
     def value(self) -> str:
         """XElement.Value: concatenated descendant text."""
         parts: list[str] = []
-        stack = [iter(self.children)]
+        stack = self.children[::-1]
         while stack:
-            for ch in stack[-1]:
-                t = type(ch)
-                if t is Text:
-                    parts.append(ch.value)
-                elif t is Element:
-                    stack.append(iter(ch.children))
-                    break
-            else:
-                stack.pop()
+            node = stack.pop()
+            t = type(node)
+            if t is Text:
+                parts.append(node.value)
+            elif t is Element and node.children:
+                stack.extend(node.children[::-1])
         return "".join(parts)
 
     @property
@@ -286,14 +283,34 @@ class Element(Node):
 
     # NOTE: element tags are lowercase by construction (parser case-folds,
     # all synthesized elements use lowercase), so lookups compare directly.
+    # Hot paths below use an explicit reversed-extend DFS (document order)
+    # instead of nested generators.
 
     def get_elements_by_tag_name(self, tag: str) -> list["Element"]:
         t = tag.lower()
-        return [e for e in self.descendants() if e.tag == t]
+        out: list[Element] = []
+        stack = self.children[::-1]
+        while stack:
+            node = stack.pop()
+            if type(node) is Element:
+                if node.tag == t:
+                    out.append(node)
+                if node.children:
+                    stack.extend(node.children[::-1])
+        return out
 
     def count_elements_by_tag_name(self, tag: str) -> int:
         t = tag.lower()
-        return sum(1 for e in self.descendants() if e.tag == t)
+        count = 0
+        stack = self.children[::-1]
+        while stack:
+            node = stack.pop()
+            if type(node) is Element:
+                if node.tag == t:
+                    count += 1
+                if node.children:
+                    stack.extend(node.children[::-1])
+        return count
 
     def get_children_by_tag_name(self, tag: str) -> list["Element"]:
         t = tag.lower()

@@ -101,12 +101,13 @@ def expand_entities(s: str) -> str:
     i = 0
     n = len(s)
     while i < n:
-        c = s[i]
-        if c != "&":
-            out.append(c)
-            i += 1
-            continue
-        i += 1
+        amp = s.find("&", i)
+        if amp == -1:
+            out.append(s[i:])
+            break
+        if amp > i:
+            out.append(s[i:amp])
+        i = amp + 1
         if i >= n:
             out.append("&")
             break
@@ -328,7 +329,7 @@ class _Tokenizer:
         name = s[j:k]
         if not name.islower():
             name = name.lower()
-        attrs: dict[str, str] = {}
+        attrs: dict[str, str] | None = None  # lazily created
         self_closed = False
         i = k
         while i < n:
@@ -385,7 +386,10 @@ class _Tokenizer:
                     value = s[v:i]
             else:
                 value = aname  # valueless attribute: value = its own name
-            if aname not in attrs and _valid_attr_name(aname):
+            if (attrs is None or aname not in attrs) \
+                    and _valid_attr_name(aname):
+                if attrs is None:
+                    attrs = {}
                 attrs[aname] = expand_entities(value) if "&" in value \
                     else value
         else:
@@ -492,14 +496,16 @@ class _TreeBuilder:
                 return
             if name == "html":
                 root = Element("html")
-                root.attrs = tok.attrs
+                if tok.attrs is not None:
+                    root.attrs = tok.attrs
                 self.doc.add(root)
                 self.stack.append(root)
                 return
             self._ensure_root()
         self._auto_close(name)
         el = Element(name)
-        el.attrs = tok.attrs
+        if tok.attrs is not None:
+            el.attrs = tok.attrs
         self._append(el)
         if not (tok.self_closed or dtd.is_empty_element(name)):
             self.stack.append(el)
