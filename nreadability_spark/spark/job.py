@@ -135,6 +135,32 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(data, columns=cols)
 
 
+def _extract_batches_arrow(batches):
+    """mapInArrow variant: skips the pandas materialization on both sides
+    of the kernel (Arrow RecordBatch in, Arrow RecordBatch out)."""
+    import pyarrow as pa
+    sys.setrecursionlimit(40000)
+    cols = [f.name for f in OUT_SCHEMA.fields]
+    arrow_types = {
+        "url": pa.string(), "extracted": pa.bool_(), "title": pa.string(),
+        "content": pa.string(), "content_text": pa.string(),
+        "next_page_url": pa.string(), "error": pa.string(),
+        "html_bytes": pa.int64(), "elapsed_us": pa.int64(),
+    }
+    schema = pa.schema([(c, arrow_types[c]) for c in cols])
+    for rb in batches:
+        urls = rb.column(0).to_pylist()
+        htmls = rb.column(1).to_pylist()
+        data: dict[str, list] = {c: [] for c in cols}
+        for u, h in zip(urls, htmls):
+            row = transcode_row(u, h)
+            for c in cols:
+                data[c].append(row[c])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(data[c], type=arrow_types[c]) for c in cols],
+            schema=schema)
+
+
 def run_extraction(spark: SparkSession, pages: DataFrame,
                    num_partitions: Optional[int] = None,
                    done_urls: Optional[DataFrame] = None) -> DataFrame:
@@ -150,6 +176,8 @@ def run_extraction(spark: SparkSession, pages: DataFrame,
     # salt by full-url hash: pages of one host arrive clustered in input
     # order; xxhash64(url) spreads them uniformly
     df = df.repartition(num_partitions, F.xxhash64("url"))
+    if hasattr(df, "mapInArrow"):
+        return df.mapInArrow(_extract_batches_arrow, OUT_SCHEMA)
     return df.mapInPandas(_extract_batches, OUT_SCHEMA)
 
 

@@ -51,10 +51,11 @@ def test_extraction_scan_prunes_columns(spark):
     """Reading from a materialized pages table must only scan url+html."""
     from nreadability_spark.spark.job import run_extraction
     from nreadability_spark.spark.pages import synthesize_pages
-    path = "/tmp/plan_prune_pages.parquet"
-    if not os.path.exists(path):
-        synthesize_pages(spark, SF_DIR, include_fixtures=False) \
-            .write.mode("overwrite").parquet(path)
+    import tempfile
+    path = os.path.join(tempfile.mkdtemp(prefix="plan_prune_"),
+                        "pages.parquet")
+    synthesize_pages(spark, SF_DIR, include_fixtures=False) \
+        .write.mode("overwrite").parquet(path)
     pages = spark.read.parquet(path)
     plan = plan_of(run_extraction(spark, pages))
     assert "ReadSchema: struct<url:string,html:binary>" in plan
