@@ -43,7 +43,7 @@ def test_extraction_plan_shape(spark):
     # the Python stage is fed by exactly one exchange (the salted
     # repartition); no second shuffle sneaks in
     assert node_count(plan, "Exchange") == 1
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan or "MapInPandas" in plan
     assert "xxhash64" in plan
 
 
