@@ -163,6 +163,26 @@ def _valid_tag_name(name: str) -> bool:
     return c0.isalpha() or c0 in "_:"
 
 
+def _coerce_comment(value: str) -> str:
+    """P4: make a malformed comment value XML-valid the way the reference
+    does (Sgml/SgmlReader.cs:1773-1813 ParseComment): each inner ``--`` run
+    collapses to a single ``-`` *and eats the character before the run*
+    (when there is one); a trailing ``-`` gets a space appended."""
+    i = value.find("--")
+    while i >= 0:
+        j = i + 2
+        while j < len(value) and value[j] == "-":
+            j += 1
+        if i > 0:
+            value = value[:i - 1] + "-" + value[j:]
+        else:
+            value = "-" + value[j:]
+        i = value.find("--")
+    if value and value[-1] == "-":
+        value += " "
+    return value
+
+
 class _StartTag:
     __slots__ = ("name", "attrs", "self_closed")
 
@@ -250,7 +270,7 @@ class _Tokenizer:
             else:
                 value = s[i + 4:end]
                 self.i = end + 3
-            yield ("comment", value)
+            yield ("comment", _coerce_comment(value))
             return
         if s.startswith("<![CDATA[", i):
             end = s.find("]]>", i + 9)

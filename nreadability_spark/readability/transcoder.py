@@ -196,6 +196,20 @@ def _traverse_child_nodes(element: Element, visit: Callable[[Node], None]):
         child = nxt
 
 
+_RX_INT32 = re.compile(r"[\t\n\v\f\r ]*([-+]?[0-9]+)[\t\n\v\f\r ]*\Z")
+
+
+def _try_parse_int32(text: str) -> Optional[int]:
+    """C# int.TryParse(NumberStyles.Integer) parity: ASCII digits only
+    (no unicode digits / '_' separators), optional sign, leading/trailing
+    whitespace limited to U+0009..U+000D and U+0020, int32 range."""
+    m = _RX_INT32.match(text or "")
+    if m is None:
+        return None
+    value = int(m.group(1))
+    return value if -2**31 <= value < 2**31 else None
+
+
 def _single_or_none(items: list):
     return items[0] if len(items) == 1 else None
 
@@ -396,12 +410,7 @@ class Transcoder:
             if RX_EXTRANEOUS.search(link_href):
                 link_obj.score -= 15
 
-            try:
-                as_number = int(link_text)
-                if not (-2**31 <= as_number < 2**31):
-                    raise ValueError
-            except (ValueError, TypeError):
-                as_number = None
+            as_number = _try_parse_int32(link_text)
             if as_number is not None:
                 if as_number == 1:
                     link_obj.score -= 10
@@ -527,7 +536,9 @@ class Transcoder:
                     element.tag = "p"
                 else:
                     def wrap_text(child: Node) -> None:
-                        if not isinstance(child, Text) or \
+                        # the reference wraps XmlNodeType.Text only — CDATA
+                        # sections (e.g. recovered ASP blocks) stay unwrapped
+                        if not isinstance(child, Text) or child.is_cdata or \
                                 len(self.get_inner_text(child)) == 0:
                             return
                         para = Element("p")

@@ -96,6 +96,24 @@ def test_text_nodes_in_div_with_blocks_become_paragraphs(t):
     assert count_tags(document, "p") == 2
 
 
+def test_cdata_nodes_in_div_are_not_wrapped(t):
+    # the reference wraps XmlNodeType.Text only: a recovered ASP block
+    # (CDATA) inside a div must survive unwrapped, not become a styled <p>
+    # that would re-parse its markup as HTML
+    from nreadability_spark.readability.dom import Text
+
+    document = build_document(
+        '<div><% server code %><a href="#">Link</a>plain tail</div>')
+    t.strip_unlikely_candidates(document)
+    styled = [e for e in document.root.descendants()
+              if e.get_class() == "readability-styled"]
+    assert any("plain tail" in t.get_inner_text(e) for e in styled)
+    assert not any("server code" in t.get_inner_text(e) for e in styled)
+    cdatas = [n for n in document.root.descendant_nodes()
+              if isinstance(n, Text) and n.is_cdata]
+    assert len(cdatas) == 1
+
+
 # --- CollapseRedundantParagraphDivs -----------------------------------------
 
 def test_redundant_paragraph_divs_collapsed(t):
