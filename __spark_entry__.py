@@ -28,8 +28,13 @@ def _extract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nreadability_spark.spark.pages import synthesize_pages
     pages = synthesize_pages(spark, sf_dir, include_fixtures=False)
     out = run_extraction(spark, pages)
+    # string nulls coalesced to '' so both engines hash identical values
     return out.select(
-        "url", "extracted", "title", "next_page_url", "content_text",
+        "url", "extracted",
+        F.coalesce(F.col("title"), F.lit("")).alias("title"),
+        F.coalesce(F.col("next_page_url"), F.lit(""))
+        .alias("next_page_url"),
+        F.coalesce(F.col("content_text"), F.lit("")).alias("content_text"),
         F.md5(F.coalesce(F.col("content"), F.lit(""))).alias("content_md5"),
         F.length(F.coalesce(F.col("content"), F.lit("")))
         .cast("long").alias("content_len"),
@@ -72,7 +77,9 @@ def _stitch_multipage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synthesize_chained_pages(spark, sf_dir)
     out = stitch_multipage(spark, pages)
     return out.select(
-        "root_url", "extracted", "title", "n_pages",
+        "root_url", "extracted",
+        F.coalesce(F.col("title"), F.lit("")).alias("title"),
+        F.col("n_pages").cast("long").alias("n_pages"),
         F.md5(F.coalesce(F.col("content"), F.lit(""))).alias("content_md5"))
 
 
@@ -82,10 +89,16 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      synthesize_media)
     media = synthesize_media(spark, sf_dir)
     feats = extract_features(media)
+    # feature_q is a scalar string (not array<int>): the driver's pandas
+    # canonicalizer can't sort unhashable list cells
     return feats.select(
-        "media_id", "kind", "ok", "payload_bytes",
-        F.expr("transform(feature, x -> cast(floor(x * 10000) as int))")
-        .alias("feature_q"))
+        "media_id",
+        F.coalesce(F.col("kind"), F.lit("")).alias("kind"),
+        "ok", "payload_bytes",
+        F.coalesce(
+            F.expr("concat_ws(',', transform(feature, "
+                   "x -> cast(cast(floor(x * 10000) as int) as string)))"),
+            F.lit("")).alias("feature_q"))
 
 
 def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,7 +107,8 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      synthesize_media)
     media = synthesize_media(spark, sf_dir)
     return sample_frames(media).select(
-        "media_id", "frame_no", F.md5("frame").alias("frame_md5"))
+        "media_id", F.col("frame_no").cast("long").alias("frame_no"),
+        F.md5("frame").alias("frame_md5"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -117,6 +131,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+def _kernel_oracles() -> dict[str, str]:
+    """DuckDB oracles for the non-SQL (kernel) queries: the deterministic
+    pure-Python kernel's output over the same synthesized sf0.01 inputs,
+    materialized to parquet by scripts/gen_oracles.py (regenerate after any
+    kernel change). The driver's correctness pass runs at sf=0.01."""
+    d = os.path.join(_REPO, "oracles", "sf0.01")
+    full = os.path.join(d, "extract_full.parquet")
+    stitch = os.path.join(d, "stitch_multipage.parquet")
+    feats = os.path.join(d, "media_features.parquet")
+    frames = os.path.join(d, "media_frames.parquet")
+    return {
+        "extract_articles": f"""
+            select url, extracted, title, next_page_url, content_text,
+                   content_md5, content_len, failed
+            from read_parquet('{full}')""",
+        "extract_metrics": f"""
+            select count(*) as docs,
+                   cast(sum(cast(extracted as bigint)) as bigint)
+                     as extracted,
+                   cast(sum(cast(failed as bigint)) as bigint)
+                     as parse_failures,
+                   cast(sum(text_chars) as bigint) as total_text_chars,
+                   cast(max(html_bytes) as bigint) as max_doc_bytes
+            from read_parquet('{full}')""",
+        "extract_next_pages": f"""
+            select url, next_page_url from read_parquet('{full}')
+            where next_page_url != ''""",
+        "stitch_multipage": f"""
+            select root_url, extracted, title, n_pages, content_md5
+            from read_parquet('{stitch}')""",
+        "media_features": f"""
+            select media_id, kind, ok, payload_bytes, feature_q
+            from read_parquet('{feats}')""",
+        "media_frames": f"""
+            select media_id, frame_no, frame_md5
+            from read_parquet('{frames}')""",
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     from nreadability_spark.spark.ops import SQL_OPS
-    return {name: sql for name, (_fn, sql) in SQL_OPS.items()}
+    out = {name: sql for name, (_fn, sql) in SQL_OPS.items()}
+    out.update(_kernel_oracles())
+    return out
