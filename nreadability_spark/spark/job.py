@@ -216,7 +216,12 @@ def run_job(spark: SparkSession, pages: DataFrame, out_dir: str,
         F.max("html_bytes").alias("max_doc_bytes"),
         (F.sum("elapsed_us") / 1000).cast("long").alias("elapsed_ms"),
     ))
-    metrics.write.mode("append").parquet(metrics_path)
+    # dynamic partition overwrite keyed by run_id: re-running a completed
+    # job recomputes this run's rollup in place instead of appending a
+    # duplicate copy (keeps the job idempotent for metrics consumers too)
+    (metrics.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("run_id").parquet(metrics_path))
 
     summary = written.agg(
         F.count("*").alias("docs"),

@@ -255,6 +255,39 @@ def _simhash_sql_duck() -> str:
 SIMHASH_SQL = _simhash_sql_duck()
 
 
+# near-dup thresholds / guards shared by both engines:
+# * hamming <= 8/60 bits keeps the candidate set tight (16 was ~12
+#   pairs/doc of word-salad false candidates that downstream exact-verify
+#   would pay for at scale);
+# * LSH buckets larger than _MAX_BUCKET members are dropped before the
+#   self-join — a mega-bucket is near-certain boilerplate, and one hot
+#   (band_id, band_sig) key otherwise produces O(n^2) join output that no
+#   AQE split can save at 100 TB. Observed max at sf0.01 is 33 (simhash)
+#   and 5 (minhash), so the cap changes nothing at test scale.
+_HAMMING_MAX = 8
+_MAX_BUCKET = 100
+
+
+def _cap_buckets(bands: DataFrame) -> DataFrame:
+    """Drop rows of oversized (band_id, band_sig) buckets. The oversized
+    list is tiny (usually empty), so the anti-join broadcasts."""
+    big = (bands.groupBy("band_id", "band_sig")
+           .agg(F.count("*").alias("n"))
+           .where(F.col("n") > _MAX_BUCKET)
+           .select("band_id", "band_sig"))
+    return bands.join(F.broadcast(big), ["band_id", "band_sig"],
+                      "left_anti")
+
+
+def _cap_buckets_duck(bands_cte: str) -> str:
+    return f"""
+      big as (select band_id, band_sig from {bands_cte}
+              group by 1, 2 having count(*) > {_MAX_BUCKET}),
+      bands_ok as (select b.* from {bands_cte} b
+                   anti join big g using (band_id, band_sig))
+    """
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded simhash near-dup candidate pairs with hamming distance."""
     sims = simhash(spark, sf_dir)
@@ -264,6 +297,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "doc_id", "simhash", "band_id",
         "shiftright(simhash, band_id * 15) & 32767 as band_sig")
+    bands = _cap_buckets(bands)
     a = bands.selectExpr("doc_id as doc1", "simhash as sim1",
                          "band_id", "band_sig")
     b = bands.selectExpr("doc_id as doc2", "simhash as sim2",
@@ -273,7 +307,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc1", "doc2", "sim1", "sim2").distinct()
              .selectExpr("doc1", "doc2",
                          "cast(bit_count(sim1 ^ sim2) as bigint) as hamming")
-             .where(F.col("hamming") <= 16))
+             .where(F.col("hamming") <= _HAMMING_MAX))
     return pairs.select(F.col("doc1").cast("long"),
                         F.col("doc2").cast("long"), "hamming")
 
@@ -285,16 +319,17 @@ DEDUP_SIMHASH_SQL = f"""
              (simhash >> (band_id * 15)) & 32767 as band_sig
       from sims, unnest([0, 1, 2, 3]) as t(band_id)
     ),
+    {_cap_buckets_duck('bands')},
     pairs as (
       select distinct a.doc_id as doc1, b.doc_id as doc2,
              a.simhash as sim1, b.simhash as sim2
-      from bands a join bands b
+      from bands_ok a join bands_ok b
         on a.band_id = b.band_id and a.band_sig = b.band_sig
        and a.doc_id < b.doc_id
     )
     select cast(doc1 as bigint) as doc1, cast(doc2 as bigint) as doc2,
            cast(bit_count(xor(sim1, sim2)) as bigint) as hamming
-    from pairs where bit_count(xor(sim1, sim2)) <= 16
+    from pairs where bit_count(xor(sim1, sim2)) <= {_HAMMING_MAX}
 """
 
 
@@ -358,6 +393,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.selectExpr(
         "doc_id", f"explode(array({', '.join(band_exprs)})) as band"
     ).selectExpr("doc_id", "band.band_id", "band.band_sig")
+    bands = _cap_buckets(bands)
     a = bands.selectExpr("doc_id as doc1", "band_id", "band_sig")
     b = bands.selectExpr("doc_id as doc2", "band_id", "band_sig")
     return (a.join(b, ["band_id", "band_sig"])
@@ -375,10 +411,11 @@ def _lsh_sql_duck() -> str:
             f"select doc_id, {band} as band_id, {cols} as band_sig from sigs")
     return f"""
         with sigs as ({MINHASH_SIGNATURES_SQL}),
-        bands as ({' union all '.join(band_rows)})
+        bands as ({' union all '.join(band_rows)}),
+        {_cap_buckets_duck('bands')}
         select distinct cast(a.doc_id as bigint) as doc1,
                         cast(b.doc_id as bigint) as doc2
-        from bands a join bands b
+        from bands_ok a join bands_ok b
           on a.band_id = b.band_id and a.band_sig = b.band_sig
          and a.doc_id < b.doc_id
     """
@@ -392,8 +429,15 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     sh = corpus.selectExpr("doc_id",
                            f"explode({_SHINGLES}) as shingle").distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     cand = dedup_minhash_lsh(spark, sf_dir)
+    # the exploded shingle table is the biggest intermediate in the whole
+    # engine: semi-join it down to candidate docs BEFORE the pair joins so
+    # only candidate shingles shuffle (doc_id-level filter, so per-doc
+    # shingle sets — and hence sizes — are unchanged)
+    cand_docs = (cand.selectExpr("doc1 as doc_id")
+                 .union(cand.selectExpr("doc2 as doc_id")).distinct())
+    sh = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.selectExpr("doc_id as doc1", "shingle")
     b = sh.selectExpr("doc_id as doc2", "shingle")
     common = (cand.join(a, "doc1").join(b, ["doc2", "shingle"])

@@ -78,6 +78,24 @@ def test_ann_topk_broadcasts_query_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_lsh_band_join_is_bucket_capped(spark):
+    """The oversized-bucket guard (skew defuse) must stay in the plan: a
+    broadcast anti-join removes mega-bucket rows before the band self-join,
+    so one hot (band_id, band_sig) key can't produce O(n^2) join output."""
+    from nreadability_spark.spark.ops import dedup_minhash_lsh, dedup_simhash
+    for q in (dedup_minhash_lsh, dedup_simhash):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, q.__name__
+
+
+def test_ngram_jaccard_prunes_shingles_before_pair_join(spark):
+    """The exploded shingle table must be semi-joined down to candidate
+    docs before the wide (doc, shingle) pair joins."""
+    from nreadability_spark.spark.ops import ngram_jaccard
+    plan = plan_of(ngram_jaccard(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
 def test_filter_pushdown_reaches_scan(spark):
     df = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")) \
         .where("o_custkey = 42").select("o_orderkey")

@@ -119,6 +119,14 @@ def test_run_job_metrics_and_resume(spark, pages, tmp_path_factory):
     assert r3["docs"] == 0
     assert spark.read.parquet(os.path.join(out_dir, "extracted")) \
         .count() == total
+
+    # rerun of a COMPLETED run_id must not double-append its metrics
+    n_metrics = spark.read.parquet(os.path.join(out_dir, "metrics")).count()
+    run_job(spark, pages, out_dir, run_id="r2", num_partitions=4)
+    metrics2 = spark.read.parquet(os.path.join(out_dir, "metrics"))
+    assert metrics2.count() == n_metrics
+    assert metrics2.groupBy("run_id", "partition_id").count() \
+        .where("count > 1").isEmpty()
     shutil.rmtree(out_dir, ignore_errors=True)
 
 
