@@ -59,6 +59,23 @@ def _extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serde-narrow extraction (output='fingerprint'): ships md5/len
+    instead of the content blobs — the dedup/audit consumer shape."""
+    from nreadability_spark.spark.job import run_extraction
+    from nreadability_spark.spark.pages import synthesize_pages
+    pages = synthesize_pages(spark, sf_dir, include_fixtures=False)
+    out = run_extraction(spark, pages, output="fingerprint")
+    return out.select(
+        "url", "extracted",
+        F.coalesce(F.col("title"), F.lit("")).alias("title"),
+        "content_md5", "content_len",
+        F.coalesce(F.col("next_page_url"), F.lit(""))
+        .alias("next_page_url"),
+        (F.col("error").isNotNull()).alias("failed"),
+        "html_bytes")
+
+
 def _extract_next_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-page-link detection results (D1/D2 operators) per url."""
     from nreadability_spark.spark.job import run_extraction
@@ -120,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from nreadability_spark.spark.ops import SQL_OPS
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "extract_articles": _extract_articles,
+        "extract_fingerprints": _extract_fingerprints,
         "extract_metrics": _extract_metrics,
         "extract_next_pages": _extract_next_pages,
         "stitch_multipage": _stitch_multipage,
@@ -145,6 +163,10 @@ def _kernel_oracles() -> dict[str, str]:
         "extract_articles": f"""
             select url, extracted, title, next_page_url, content_text,
                    content_md5, content_len, failed
+            from read_parquet('{full}')""",
+        "extract_fingerprints": f"""
+            select url, extracted, title, content_md5, content_len,
+                   next_page_url, failed, html_bytes
             from read_parquet('{full}')""",
         "extract_metrics": f"""
             select count(*) as docs,

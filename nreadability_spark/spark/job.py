@@ -135,36 +135,83 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(data, columns=cols)
 
 
-def _extract_batches_arrow(batches):
-    """mapInArrow variant: skips the pandas materialization on both sides
-    of the kernel (Arrow RecordBatch in, Arrow RecordBatch out)."""
-    import pyarrow as pa
-    sys.setrecursionlimit(40000)
-    cols = [f.name for f in OUT_SCHEMA.fields]
-    arrow_types = {
-        "url": pa.string(), "extracted": pa.bool_(), "title": pa.string(),
-        "content": pa.string(), "content_text": pa.string(),
-        "next_page_url": pa.string(), "error": pa.string(),
-        "html_bytes": pa.int64(), "elapsed_us": pa.int64(),
-    }
-    schema = pa.schema([(c, arrow_types[c]) for c in cols])
-    for rb in batches:
-        urls = rb.column(0).to_pylist()
-        htmls = rb.column(1).to_pylist()
-        data: dict[str, list] = {c: [] for c in cols}
-        for u, h in zip(urls, htmls):
-            row = transcode_row(u, h)
-            for c in cols:
-                data[c].append(row[c])
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(data[c], type=arrow_types[c]) for c in cols],
-            schema=schema)
+_ARROW_TYPES = {
+    "url": "string", "extracted": "bool", "title": "string",
+    "content": "string", "content_text": "string",
+    "next_page_url": "string", "error": "string",
+    "html_bytes": "int64", "elapsed_us": "int64",
+    "content_md5": "string", "content_len": "int64",
+}
+
+# fingerprint output: ship a hash + length instead of the rendered HTML
+# and text blobs — the serde-narrow shape for consumers that only
+# deduplicate / audit (cuts Python->JVM Arrow traffic ~50x per row)
+FINGERPRINT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("extracted", BooleanType()),
+    StructField("title", StringType()),
+    StructField("content_md5", StringType()),
+    StructField("content_len", LongType()),
+    StructField("next_page_url", StringType()),
+    StructField("error", StringType()),
+    StructField("html_bytes", LongType()),
+    StructField("elapsed_us", LongType()),
+])
+
+
+def _fingerprint_of(row: dict) -> dict:
+    content = row["content"] or ""
+    out = {c: row[c] for c in ("url", "extracted", "title",
+                               "next_page_url", "error", "html_bytes",
+                               "elapsed_us")}
+    out["content_md5"] = hashlib.md5(content.encode("utf-8")).hexdigest()
+    out["content_len"] = len(content)
+    return out
+
+
+def _make_arrow_extractor(out_schema, row_fn):
+    """Build a mapInArrow generator: RecordBatch(url, html) in ->
+    RecordBatch(out_schema) out, one kernel call per row."""
+    cols = [f.name for f in out_schema.fields]
+
+    def gen(batches):
+        import pyarrow as pa
+        sys.setrecursionlimit(40000)
+        arrow_types = {c: getattr(pa, _ARROW_TYPES[c].replace(
+            "bool", "bool_"))() for c in cols}
+        schema = pa.schema([(c, arrow_types[c]) for c in cols])
+        for rb in batches:
+            urls = rb.column(0).to_pylist()
+            htmls = rb.column(1).to_pylist()
+            data: dict[str, list] = {c: [] for c in cols}
+            for u, h in zip(urls, htmls):
+                row = row_fn(transcode_row(u, h))
+                for c in cols:
+                    data[c].append(row[c])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(data[c], type=arrow_types[c]) for c in cols],
+                schema=schema)
+
+    return gen
+
+
+_extract_batches_arrow = _make_arrow_extractor(OUT_SCHEMA, lambda r: r)
+_extract_batches_arrow_fp = _make_arrow_extractor(FINGERPRINT_SCHEMA,
+                                                  _fingerprint_of)
 
 
 def run_extraction(spark: SparkSession, pages: DataFrame,
                    num_partitions: Optional[int] = None,
-                   done_urls: Optional[DataFrame] = None) -> DataFrame:
-    """pages(url, html [, ...]) -> extraction results DataFrame."""
+                   done_urls: Optional[DataFrame] = None,
+                   output: str = "full") -> DataFrame:
+    """pages(url, html [, ...]) -> extraction results DataFrame.
+
+    ``num_partitions=0`` skips the salted exchange: only valid when the
+    input is already uniformly mixed (e.g. a corpus previously written
+    through the salted path); saves a full shuffle of the html bytes.
+    ``output='fingerprint'`` ships content_md5/content_len instead of the
+    content/content_text blobs.
+    """
     ensure_package_shipped(spark)
     df = pages.select("url", "html")  # column pruning before any exchange
     if done_urls is not None:
@@ -173,11 +220,15 @@ def run_extraction(spark: SparkSession, pages: DataFrame,
         # 4 waves per core: fine enough that one slow partition (huge
         # documents cluster) can't stretch the stage tail
         num_partitions = spark.sparkContext.defaultParallelism * 4
-    # salt by full-url hash: pages of one host arrive clustered in input
-    # order; xxhash64(url) spreads them uniformly
-    df = df.repartition(num_partitions, F.xxhash64("url"))
+    if num_partitions:
+        # salt by full-url hash: pages of one host arrive clustered in
+        # input order; xxhash64(url) spreads them uniformly
+        df = df.repartition(num_partitions, F.xxhash64("url"))
+    schema = FINGERPRINT_SCHEMA if output == "fingerprint" else OUT_SCHEMA
+    fn = _extract_batches_arrow_fp if output == "fingerprint" \
+        else _extract_batches_arrow
     if hasattr(df, "mapInArrow"):
-        return df.mapInArrow(_extract_batches_arrow, OUT_SCHEMA)
+        return df.mapInArrow(fn, schema)
     return df.mapInPandas(_extract_batches, OUT_SCHEMA)
 
 

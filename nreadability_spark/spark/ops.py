@@ -213,16 +213,21 @@ _SIMHASH_BITS = 60
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc simhash as a shuffle-free array projection: the token hash
+    array is materialized once per row, the 60 bit-sums fold over it with
+    ``aggregate`` — no explode, no groupBy, so the whole operator is a
+    single scan+project stage at any corpus size (the exploded-token
+    variant shuffled ~2k rows per document)."""
     corpus = _corpus(spark, sf_dir)
-    toks = corpus.selectExpr("doc_id",
-                             f"explode({_TOKENS}) as tok")
-    toks = toks.selectExpr("doc_id", f"{_H60.format(col='tok')} as h")
-    aggs = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1)
-              .otherwise(-1)).alias(f"b{b}")
-        for b in range(_SIMHASH_BITS)
-    ]
-    bits = toks.groupBy("doc_id").agg(*aggs)
+    base = corpus.selectExpr(
+        "doc_id",
+        f"transform({_TOKENS}, t -> {_H60.format(col='t')}) as th"
+    ).where("size(th) > 0")
+    bit_aggs = [
+        f"aggregate(th, 0L, (acc, h) -> acc + (case when (h & {1 << b}) != 0"
+        f" then 1 else -1 end)) as b{b}"
+        for b in range(_SIMHASH_BITS)]
+    bits = base.selectExpr("doc_id", *bit_aggs)
     sim = None
     for b in range(_SIMHASH_BITS):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
@@ -232,9 +237,10 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql_duck() -> str:
-    h = _H60_DUCK.format(col="tok")
+    h = _H60_DUCK.format(col="t")
     bit_sums = ", ".join(
-        f"sum(case when (h & {1 << b}) != 0 then 1 else -1 end) as b{b}"
+        f"cast(list_sum(list_transform(th, h -> case when (h & {1 << b}) != 0"
+        f" then 1 else -1 end)) as bigint) as b{b}"
         for b in range(_SIMHASH_BITS))
     recombine = " + ".join(
         f"(case when b{b} > 0 then cast({1 << b} as bigint) else 0 end)"
@@ -245,10 +251,9 @@ def _simhash_sql_duck() -> str:
         from (
           select doc_id, {bit_sums}
           from (
-            select doc_id, {h} as h
-            from (select doc_id, unnest({_TOKENS_DUCK}) as tok
-                  from ({CORPUS_SQL})))
-          group by doc_id)
+            select doc_id, list_transform({_TOKENS_DUCK}, t -> {h}) as th
+            from ({CORPUS_SQL}))
+          where len(th) > 0)
     """
 
 
@@ -297,6 +302,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "doc_id", "simhash", "band_id",
         "shiftright(simhash, band_id * 15) & 32767 as band_sig")
+    # materialize the (small) band table once: its lineage — the full
+    # token explode + 60 bit-sum aggs — otherwise recomputes for each of
+    # the four consumers (two join sides + the bucket-size agg); Spark's
+    # ReuseExchange can't dedup these subplans across the column renames
+    bands = bands.localCheckpoint(eager=True)
     bands = _cap_buckets(bands)
     a = bands.selectExpr("doc_id as doc1", "simhash as sim1",
                          "band_id", "band_sig")
@@ -339,43 +349,62 @@ _N_MINHASH = 16
 _SHINGLE_MOD = 1000003
 _MINHASH_MOD = 1048573
 
-_SHINGLES = ("case when size({t}) >= 3 then transform(sequence(0, size({t}) - 3), "
-             "i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2])) "
-             "else array() end").format(t=_TOKENS)
+# shingle builder over a pre-materialized `toks` column. zip_with of three
+# shifted slices instead of indexed transform: `toks[i]` inside a lambda
+# makes Catalyst re-inline (and re-evaluate) the whole split/filter token
+# expression PER ELEMENT — the plan showed 18 split() calls and ran 10x
+# slower. zip_with lambdas only touch their own variables.
+_SHINGLES_OF_TOKS = (
+    "case when size(toks) >= 3 then "
+    "zip_with(zip_with(slice(toks, 1, size(toks) - 2), "
+    "slice(toks, 2, size(toks) - 2), (a, b) -> concat(a, ' ', b)), "
+    "slice(toks, 3, size(toks) - 2), (ab, c) -> concat(ab, ' ', c)) "
+    "else array() end")
 _SHINGLES_DUCK = ("case when len({t}) >= 3 then list_transform(range(1, len({t}) - 1), "
                   "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]) "
                   "else [] end").format(t=_TOKENS_DUCK)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as a shuffle-free array projection: hash every shingle once
+    into a per-row array, then take 16 permuted ``array_min``s — no
+    explode, no groupBy. The exploded variant shuffled one row per
+    (doc, shingle) — the engine's biggest shuffle; this is a single
+    scan+project stage at any corpus size. min() is insensitive to
+    duplicate shingles, so no distinct is needed either."""
     corpus = _corpus(spark, sf_dir)
-    # no distinct before the min-aggregation: min() is insensitive to
-    # duplicate shingles, and dropping it saves a full shuffle
-    sh = corpus.selectExpr("doc_id", f"explode({_SHINGLES}) as shingle")
-    sh = sh.selectExpr(
+    # tokens are hoisted into a real column before the shingle lambda:
+    # toks[i] inside a higher-order-function lambda would otherwise
+    # re-evaluate the whole split/filter chain per element (3x per
+    # shingle — measured ~7x slower)
+    base = corpus.selectExpr("doc_id", f"{_TOKENS} as toks").selectExpr(
+        "doc_id", f"{_SHINGLES_OF_TOKS} as sh_arr"
+    ).selectExpr(
         "doc_id",
-        f"{_H60.format(col='shingle')} % {_SHINGLE_MOD} as sh")
-    aggs = [F.min((F.col("sh") * (2 * i + 3) + (7 * i + 1))
-                  % _MINHASH_MOD).alias(f"m{i}")
-            for i in range(_N_MINHASH)]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(F.col("doc_id").cast("long").alias("doc_id"),
-                      *[F.col(f"m{i}").cast("long").alias(f"m{i}")
-                        for i in range(_N_MINHASH)])
+        f"transform(sh_arr, s -> {_H60.format(col='s')} "
+        f"% {_SHINGLE_MOD}) as sha"
+    ).where("size(sha) > 0")
+    mins = [
+        f"cast(array_min(transform(sha, x -> (x * {2 * i + 3} + {7 * i + 1})"
+        f" % {_MINHASH_MOD})) as bigint) as m{i}"
+        for i in range(_N_MINHASH)]
+    return base.selectExpr("cast(doc_id as bigint) as doc_id", *mins)
 
 
 def _minhash_sql_duck() -> str:
     mins = ", ".join(
-        f"cast(min((sh * {2 * i + 3} + {7 * i + 1}) % {_MINHASH_MOD}) "
-        f"as bigint) as m{i}" for i in range(_N_MINHASH))
+        f"cast(list_min(list_transform(sha, x -> (x * {2 * i + 3} + "
+        f"{7 * i + 1}) % {_MINHASH_MOD})) as bigint) as m{i}"
+        for i in range(_N_MINHASH))
     return f"""
         select cast(doc_id as bigint) as doc_id, {mins}
         from (
           select doc_id,
-                 {_H60_DUCK.format(col='shingle')} % {_SHINGLE_MOD} as sh
-          from (select distinct doc_id, unnest({_SHINGLES_DUCK}) as shingle
-                from ({CORPUS_SQL})))
-        group by doc_id
+                 list_transform({_SHINGLES_DUCK},
+                                s -> {_H60_DUCK.format(col='s')}
+                                % {_SHINGLE_MOD}) as sha
+          from ({CORPUS_SQL}))
+        where len(sha) > 0
     """
 
 
@@ -393,6 +422,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.selectExpr(
         "doc_id", f"explode(array({', '.join(band_exprs)})) as band"
     ).selectExpr("doc_id", "band.band_id", "band.band_sig")
+    # one row per (doc, band): materialize once instead of recomputing
+    # the shingle explode + 16 min-aggs per consumer (see dedup_simhash)
+    bands = bands.localCheckpoint(eager=True)
     bands = _cap_buckets(bands)
     a = bands.selectExpr("doc_id as doc1", "band_id", "band_sig")
     b = bands.selectExpr("doc_id as doc2", "band_id", "band_sig")
@@ -427,9 +459,16 @@ DEDUP_MINHASH_LSH_SQL = _lsh_sql_duck()
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard (scaled-integer) for LSH candidate pairs."""
     corpus = _corpus(spark, sf_dir)
-    sh = corpus.selectExpr("doc_id",
-                           f"explode({_SHINGLES}) as shingle").distinct()
-    cand = dedup_minhash_lsh(spark, sf_dir)
+    # distinct already shuffles the full shingle table once; checkpointing
+    # keeps that one copy instead of recomputing the explode+distinct for
+    # each of the three consumers (sizes + both pair-join sides); tokens
+    # hoisted for the same lambda-reevaluation reason as in
+    # minhash_signatures
+    sh = corpus.selectExpr("doc_id", f"{_TOKENS} as toks") \
+        .selectExpr("doc_id", f"explode({_SHINGLES_OF_TOKS}) as shingle") \
+        .distinct() \
+        .localCheckpoint(eager=True)
+    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
     # the exploded shingle table is the biggest intermediate in the whole
     # engine: semi-join it down to candidate docs BEFORE the pair joins so
     # only candidate shingles shuffle (doc_id-level filter, so per-doc

@@ -18,9 +18,9 @@ ORACLE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "oracles", "sf0.01")
 
-KERNEL_QUERIES = ["extract_articles", "extract_metrics",
-                  "extract_next_pages", "stitch_multipage",
-                  "media_features", "media_frames"]
+KERNEL_QUERIES = ["extract_articles", "extract_fingerprints",
+                  "extract_metrics", "extract_next_pages",
+                  "stitch_multipage", "media_features", "media_frames"]
 
 
 @pytest.fixture(scope="module")
