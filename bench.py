@@ -77,9 +77,19 @@ def run_bench(spark, sf_dir: str) -> dict:
             extract_sec = dt
     timings["extract_articles"] = round(extract_sec, 3)
 
-    for name in ("dedup_exact", "simhash", "dedup_minhash_lsh", "ann_topk",
+    # serde-narrow extraction variant (same kernel, fingerprint output)
+    t0 = time.perf_counter()
+    out = run_extraction(spark, pages, num_partitions=0,
+                         output="fingerprint")
+    out.agg(F.count("*")).collect()
+    timings["extract_fingerprints"] = round(time.perf_counter() - t0, 3)
+
+    for name in ("dedup_exact", "simhash", "dedup_simhash",
+                 "minhash_signatures", "dedup_minhash_lsh", "ngram_jaccard",
+                 "ann_topk", "ann_lsh_buckets", "dedup_embedding",
                  "sessionize", "events_hourly", "orders_by_nation",
-                 "token_counts", "lang_id"):
+                 "top_spenders", "token_counts", "doc_fingerprint",
+                 "quality_score", "lang_id", "pages_by_host"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

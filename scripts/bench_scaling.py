@@ -5,7 +5,7 @@ the box's own scaling ceiling (memory bandwidth / frequency), which a
 multi-executor cluster would not share.
 
 Usage: python scripts/bench_scaling.py
-Writes BENCH/BASELINE.md and prints one JSON line.
+Appends a session record to BENCH/sessions.jsonl and prints one JSON line (BENCH/BASELINE.md is hand-curated from those records).
 """
 
 from __future__ import annotations
@@ -132,48 +132,11 @@ def main() -> None:
            "sf": args.sf, "replicate": args.replicate}
     print(json.dumps(out))
 
+    # append the session record; BENCH/BASELINE.md is hand-curated from
+    # these records (this script must not clobber it)
     os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
-    rows = "\n".join(
-        f"| local[{c}] | {r['docs']} | {r['wall_sec']} | {r['docs_per_sec']} |"
-        for c, r in results.items())
-    prows = "\n".join(
-        f"| {p['from']}→{p['to']} | {p['efficiency']} | {p['hw_ceiling']} "
-        f"| {p['efficiency_vs_ceiling']} |"
-        for p in pairs)
-    with open(os.path.join(_REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH baseline — extraction throughput & scaling
-
-Input: pages table synthesized from `{args.sf}` (documents x{args.replicate}
-replicas + the 42 reference fixture pages, 3 KB–444 KB each), materialized
-to parquet pre-salted on xxhash64(url) — the production storage layout.
-Measured pipeline: scan -> select(url, html) -> mapInArrow extraction ->
-count action (shuffle-free hot path; the one-time salt happens at corpus
-write). Identical input & code at every parallelism level (the sandbox
-stand-in for N vs 4N executors per BASELINE.json north_rule). One untimed
-warm-up pass per session (Python worker fork + kernel import — a fixed
-cost a 100 TB job amortizes to zero), then best of $BENCH_RUNS timed runs
-per cycle, $BENCH_CYCLES interleaved cycles.
-
-| config | docs | wall (s) | docs/sec |
-|---|---|---|---|
-{rows}
-
-## Scaling efficiency (N -> 4N)
-
-A single box shares memory bandwidth and turbo headroom across all
-local[N] threads — unlike a multi-executor cluster where each executor
-brings its own. The *hardware ceiling* column is the same N->4N ratio
-measured for a Spark-free pure-Python string workload (multiprocessing)
-on this box; job efficiency relative to that ceiling is the
-cluster-relevant number.
-
-| cores | job efficiency | hw ceiling (same box) | job / ceiling |
-|---|---|---|---|
-{prows}
-
-Reference-side numbers: the reference publishes none (SURVEY.md §6); the
-throughput targets come from BASELINE.json.
-""")
+    with open(os.path.join(_REPO, "BENCH", "sessions.jsonl"), "a") as f:
+        f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":
