@@ -176,6 +176,23 @@ def set_inner_html(element: Element, html: str) -> None:
         element.add(node)
 
 
+def _set_inner_html_if_changed(element: Element, old_html: str,
+                               new_html: str) -> None:
+    """The get-inner-html -> regex -> set-inner-html round-trips are the
+    kernel's hottest path. When the regex changed nothing, the re-parse
+    itself is the identity on the child nodes (a parsed tree holds no
+    whitespace-only text nodes per P19 and remains DTD-valid through the
+    transcoder's mutations), so only SetInnerHtml's OTHER observable
+    effect must be replicated: XElement.RemoveAll clears the element's
+    attributes unconditionally (reference DomExtensions.cs:180-195 — this
+    is why e.g. the article div's id never survives
+    PrepareArticleContentElement)."""
+    if new_html != old_html:
+        set_inner_html(element, new_html)
+    else:
+        element.attrs = {}
+
+
 def _traverse_elements(element: Element, visit: Callable[[Element], None]):
     """ElementsTraverser parity: visit first, then children via captured
     next-pointers (mutations by the visitor don't derail iteration)."""
@@ -465,9 +482,9 @@ class Transcoder:
         _remove_elements(to_remove)
 
         body_inner = document_body.get_inner_html()
-        body_inner = RX_DOUBLE_BR.sub("</p><p>", body_inner)
-        body_inner = RX_FONT.sub(r"<\1span>", body_inner)
-        set_inner_html(document_body, body_inner)
+        new_inner = RX_DOUBLE_BR.sub("</p><p>", body_inner)
+        new_inner = RX_FONT.sub(r"<\1span>", new_inner)
+        _set_inner_html_if_changed(document_body, body_inner, new_inner)
 
     # --- title (ReadabilityTranscoder.cs:699-757) ----------------------------
 
@@ -687,8 +704,9 @@ class Transcoder:
             to_remove.append(para)
         _remove_elements(to_remove)
 
-        set_inner_html(article,
-                       RX_BREAK_BEFORE_P.sub("<p", article.get_inner_html()))
+        inner = article.get_inner_html()
+        _set_inner_html_if_changed(article, inner,
+                                   RX_BREAK_BEFORE_P.sub("<p", inner))
 
     def get_links_density(self, element: Element) -> float:
         text = self.get_inner_text(element)
@@ -732,8 +750,9 @@ class Transcoder:
         return result
 
     def kill_breaks(self, element: Element) -> None:
-        set_inner_html(element,
-                       RX_KILL_BREAKS.sub("<br />", element.get_inner_html()))
+        inner = element.get_inner_html()
+        _set_inner_html_if_changed(element, inner,
+                                   RX_KILL_BREAKS.sub("<br />", inner))
 
     def clean(self, root_element: Element, element_name: str) -> None:
         is_embed = element_name in ("object", "embed")
