@@ -176,21 +176,62 @@ def set_inner_html(element: Element, html: str) -> None:
         element.add(node)
 
 
+def _coalesce_text_like_reparse(element: Element) -> None:
+    """Replicate what re-parsing serialize(subtree) does to text nodes:
+    adjacent non-CDATA text nodes serialize into one contiguous raw span,
+    so the tokenizer re-emits them as a SINGLE text event (merged), which
+    is then dropped if whitespace-only (P19). Element removals leave
+    exactly such adjacent text runs behind."""
+    stack = [element]
+    while stack:
+        el = stack.pop()
+        kids = el.children
+        out: list[Node] = []
+        buf: Optional[str] = None
+        for ch in kids:
+            if isinstance(ch, Text) and not ch.is_cdata:
+                buf = ch.value if buf is None else buf + ch.value
+                ch.parent = None
+                continue
+            if buf is not None:
+                if buf.strip():
+                    t = Text(buf)
+                    t.parent = el
+                    out.append(t)
+                buf = None
+            out.append(ch)
+            if isinstance(ch, Element):
+                stack.append(ch)
+        if buf is not None and buf.strip():
+            t = Text(buf)
+            t.parent = el
+            out.append(t)
+        el.children = out
+
+
 def _set_inner_html_if_changed(element: Element, old_html: str,
                                new_html: str) -> None:
     """The get-inner-html -> regex -> set-inner-html round-trips are the
-    kernel's hottest path. When the regex changed nothing, the re-parse
-    itself is the identity on the child nodes (a parsed tree holds no
-    whitespace-only text nodes per P19 and remains DTD-valid through the
-    transcoder's mutations), so only SetInnerHtml's OTHER observable
-    effect must be replicated: XElement.RemoveAll clears the element's
-    attributes unconditionally (reference DomExtensions.cs:180-195 — this
-    is why e.g. the article div's id never survives
-    PrepareArticleContentElement)."""
+    kernel's hottest path. When the regex changed nothing, the re-parse's
+    observable effects are replicated directly instead of paying a full
+    fragment re-parse:
+
+    * XElement.RemoveAll clears the element's attributes unconditionally
+      (reference DomExtensions.cs:180-195 — this is why e.g. the article
+      div's id never survives PrepareArticleContentElement);
+    * adjacent text nodes (left by script/style/nav removals) merge into
+      one, and whitespace-only text disappears (P19) — see
+      _coalesce_text_like_reparse.
+
+    The tree otherwise re-parses to itself: it came from a parse and the
+    transcoder's mutations keep it DTD-valid (removals, guarded div->p
+    renames, inline-only wrapping), entity escaping round-trips, and
+    CDATA sections re-scan to the same nodes."""
     if new_html != old_html:
         set_inner_html(element, new_html)
     else:
         element.attrs = {}
+        _coalesce_text_like_reparse(element)
 
 
 def _traverse_elements(element: Element, visit: Callable[[Element], None]):

@@ -122,26 +122,23 @@ def transcode_row(url: Optional[str], html: Optional[bytes]) -> dict:
         }
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    sys.setrecursionlimit(40000)  # deep tag-soup nesting
-    cols = [f.name for f in OUT_SCHEMA.fields]
-    for pdf in batches:
-        # columnar assembly (list-of-dicts -> pandas is measurably slower)
-        data: dict[str, list] = {c: [] for c in cols}
-        for u, h in zip(pdf["url"], pdf["html"]):
-            row = transcode_row(u, h)
-            for c in cols:
-                data[c].append(row[c])
-        yield pd.DataFrame(data, columns=cols)
+def _make_pandas_extractor(out_schema, row_fn):
+    """mapInPandas fallback with the same (schema, row_fn) contract as
+    the Arrow extractor."""
+    cols = [f.name for f in out_schema.fields]
 
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sys.setrecursionlimit(40000)  # deep tag-soup nesting
+        for pdf in batches:
+            # columnar assembly (list-of-dicts -> pandas is slower)
+            data: dict[str, list] = {c: [] for c in cols}
+            for u, h in zip(pdf["url"], pdf["html"]):
+                row = row_fn(transcode_row(u, h))
+                for c in cols:
+                    data[c].append(row[c])
+            yield pd.DataFrame(data, columns=cols)
 
-_ARROW_TYPES = {
-    "url": "string", "extracted": "bool", "title": "string",
-    "content": "string", "content_text": "string",
-    "next_page_url": "string", "error": "string",
-    "html_bytes": "int64", "elapsed_us": "int64",
-    "content_md5": "string", "content_len": "int64",
-}
+    return gen
 
 # fingerprint output: ship a hash + length instead of the rendered HTML
 # and text blobs — the serde-narrow shape for consumers that only
@@ -177,8 +174,10 @@ def _make_arrow_extractor(out_schema, row_fn):
     def gen(batches):
         import pyarrow as pa
         sys.setrecursionlimit(40000)
-        arrow_types = {c: getattr(pa, _ARROW_TYPES[c].replace(
-            "bool", "bool_"))() for c in cols}
+        pa_types = {"string": pa.string(), "boolean": pa.bool_(),
+                    "long": pa.int64()}
+        arrow_types = {f.name: pa_types[f.dataType.typeName()]
+                       for f in out_schema.fields}
         schema = pa.schema([(c, arrow_types[c]) for c in cols])
         for rb in batches:
             urls = rb.column(0).to_pylist()
@@ -198,6 +197,9 @@ def _make_arrow_extractor(out_schema, row_fn):
 _extract_batches_arrow = _make_arrow_extractor(OUT_SCHEMA, lambda r: r)
 _extract_batches_arrow_fp = _make_arrow_extractor(FINGERPRINT_SCHEMA,
                                                   _fingerprint_of)
+_extract_batches = _make_pandas_extractor(OUT_SCHEMA, lambda r: r)
+_extract_batches_fp = _make_pandas_extractor(FINGERPRINT_SCHEMA,
+                                             _fingerprint_of)
 
 
 def run_extraction(spark: SparkSession, pages: DataFrame,
@@ -225,17 +227,23 @@ def run_extraction(spark: SparkSession, pages: DataFrame,
         # input order; xxhash64(url) spreads them uniformly
         df = df.repartition(num_partitions, F.xxhash64("url"))
     schema = FINGERPRINT_SCHEMA if output == "fingerprint" else OUT_SCHEMA
-    fn = _extract_batches_arrow_fp if output == "fingerprint" \
-        else _extract_batches_arrow
     if hasattr(df, "mapInArrow"):
+        fn = _extract_batches_arrow_fp if output == "fingerprint" \
+            else _extract_batches_arrow
         return df.mapInArrow(fn, schema)
-    return df.mapInPandas(_extract_batches, OUT_SCHEMA)
+    fn = _extract_batches_fp if output == "fingerprint" \
+        else _extract_batches
+    return df.mapInPandas(fn, schema)
 
 
 def run_job(spark: SparkSession, pages: DataFrame, out_dir: str,
             run_id: str, num_partitions: Optional[int] = None,
             resume: bool = True) -> dict:
     """Full job: extract -> parquet sink -> metrics rollup sink.
+
+    The metrics sink is hive-partitioned by run_id (dynamic overwrite);
+    out_dirs written by pre-partitioned versions of this job hold flat
+    metrics files and should be cleared before reuse.
 
     Returns summary counters. Idempotent per url: rerunning after a partial
     failure anti-joins the committed urls and appends only the remainder.

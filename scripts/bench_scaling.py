@@ -44,7 +44,8 @@ def hardware_control(levels: list[int], n: int = 20000) -> dict[int, float]:
 
 
 def measure_once(cores: int, pages_path: str,
-                 runs: int = int(os.environ.get("BENCH_RUNS", "2"))) -> tuple:
+                 runs: int = max(1, int(os.environ.get("BENCH_RUNS",
+                                                       "2")))) -> tuple:
     """Best of ``runs`` timed passes AFTER one untimed warm-up pass.
 
     The warm-up matters for the scaling ratio: a cold pass pays Python

@@ -96,6 +96,37 @@ def test_text_nodes_in_div_with_blocks_become_paragraphs(t):
     assert count_tags(document, "p") == 2
 
 
+def test_noop_inner_html_skip_matches_full_reparse(monkeypatch):
+    """The fast path that skips a no-op set_inner_html must be observably
+    identical to the reference's unconditional re-parse — including the
+    text-node merge that re-parsing performs on adjacent runs left behind
+    by script/style removals (a real page shape: text <script/> text)."""
+    from nreadability_spark.readability import transcoder as tr
+
+    body = ("<div id='main' class='article'>"
+            "<p>Lorem ipsum dolor sit amet, consectetur adipiscing elit, "
+            "sed do eiusmod tempor. Ut enim ad minim veniam, quis nostrud "
+            "exercitation ullamco laboris nisi ut aliquip commodo.</p>"
+            "<div>alpha words before the script, truly."
+            "<script>var x = 1;</script>"
+            "bar words after the script, indeed."
+            "<p>inner block paragraph with plenty of prose to score, "
+            "commas included, so the candidate machinery runs.</p></div>"
+            "</div>")
+    html = f"<html><head><title>T</title></head><body>{body}</body></html>"
+
+    fast = tr.transcode(html, "http://example.org/articles/9")
+
+    def always_reparse(element, old_html, new_html):
+        tr.set_inner_html(element, new_html)
+
+    monkeypatch.setattr(tr, "_set_inner_html_if_changed", always_reparse)
+    slow = tr.transcode(html, "http://example.org/articles/9")
+    assert fast.content == slow.content
+    assert fast.content_text == slow.content_text
+    assert fast.title == slow.title
+
+
 def test_cdata_nodes_in_div_are_not_wrapped(t):
     # the reference wraps XmlNodeType.Text only: a recovered ASP block
     # (CDATA) inside a div must survive unwrapped, not become a styled <p>
