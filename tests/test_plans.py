@@ -64,6 +64,24 @@ def test_extraction_scan_prunes_columns(spark):
     assert "lang" not in plan
 
 
+def test_presalted_extraction_plan_is_shuffle_free(spark):
+    """num_partitions=0 (pre-salted corpus layout) must produce a plan
+    with NO exchange: scan -> project -> mapInArrow only."""
+    from nreadability_spark.spark.job import run_extraction
+    from nreadability_spark.spark.pages import synthesize_pages
+    import tempfile
+    path = os.path.join(tempfile.mkdtemp(prefix="plan_presalt_"),
+                        "pages.parquet")
+    from pyspark.sql import functions as F
+    synthesize_pages(spark, SF_DIR, include_fixtures=False) \
+        .repartition(8, F.xxhash64("url")) \
+        .write.mode("overwrite").parquet(path)
+    plan = plan_of(run_extraction(spark, spark.read.parquet(path),
+                                  num_partitions=0))
+    assert node_count(plan, "Exchange") == 0
+    assert "MapInArrow" in plan or "MapInPandas" in plan
+
+
 def test_broadcast_join_for_small_dims(spark):
     from nreadability_spark.spark.ops import orders_by_nation
     plan = plan_of(orders_by_nation(spark, SF_DIR))
