@@ -516,6 +516,79 @@ NGRAM_JACCARD_SQL = f"""
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the LSH candidate
+    pairs via iterative min-label propagation (the Spark-native shape for
+    graph fixpoints without GraphFrames — same pattern as the multi-page
+    chain discovery). Every corpus doc gets a cluster_id = the minimum
+    doc_id reachable through candidate-pair edges; cluster_id == doc_id
+    marks the kept representative. Rounds needed = component diameter
+    (near-dup components are small cliques); each round is one
+    shuffle-join, lineage cut by localCheckpoint."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    # undirected neighbor list (both directions)
+    edges = (pairs.selectExpr("doc1 as src", "doc2 as dst")
+             .union(pairs.selectExpr("doc2 as src", "doc1 as dst"))
+             .localCheckpoint(eager=True))
+    labels = corpus.selectExpr("cast(doc_id as bigint) as doc_id",
+                               "cast(doc_id as bigint) as lbl") \
+        .localCheckpoint(eager=True)
+    for _round in range(15):
+        neigh = (edges.join(labels.selectExpr("doc_id as dst", "lbl"),
+                            "dst")
+                 .groupBy(F.col("src").alias("doc_id"))
+                 .agg(F.min("lbl").alias("nlbl")))
+        new_labels = (labels.join(neigh, "doc_id", "left")
+                      .selectExpr("doc_id",
+                                  "least(lbl, coalesce(nlbl, lbl)) as lbl"))
+        # pointer jumping: also adopt the label's own label, halving the
+        # remaining path each round -> O(log diameter) rounds
+        new_labels = (new_labels
+                      .join(labels.selectExpr("doc_id as lbl", "lbl as _p"),
+                            "lbl", "left")
+                      .selectExpr("doc_id",
+                                  "least(lbl, coalesce(_p, lbl)) as lbl")
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(labels.selectExpr("doc_id",
+                                                     "lbl as old_lbl"),
+                                   "doc_id")
+                   .where("lbl != old_lbl").limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("csz"))
+    return (labels.join(sizes, "lbl")
+            .selectExpr("doc_id", "lbl as cluster_id",
+                        "cast(csz as bigint) as cluster_size",
+                        "cast(doc_id = lbl as boolean) as is_representative"))
+
+
+DEDUP_CLUSTERS_SQL = f"""
+    with recursive cand as ({DEDUP_MINHASH_LSH_SQL}),
+    nodes as (select cast(doc_id as bigint) as doc_id from ({CORPUS_SQL})),
+    edges as (
+      select doc1 as src, doc2 as dst from cand
+      union all
+      select doc2 as src, doc1 as dst from cand
+    ),
+    reach(doc_id, lbl) as (
+      select doc_id, doc_id as lbl from nodes
+      union
+      select e.src as doc_id, r.lbl
+      from edges e join reach r on r.doc_id = e.dst
+    ),
+    labels as (
+      select doc_id, min(lbl) as cluster_id from reach group by 1
+    ),
+    sizes as (select cluster_id, count(*) as csz from labels group by 1)
+    select l.doc_id, l.cluster_id,
+           cast(s.csz as bigint) as cluster_size,
+           l.doc_id = l.cluster_id as is_representative
+    from labels l join sizes s using (cluster_id)
+"""
+
+
 # --- embeddings: quantized similarity search -----------------------------------
 
 _QVEC = "transform(embedding, x -> cast(floor(x * 1000) as bigint))"
@@ -816,6 +889,7 @@ SQL_OPS = {
     "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_BUCKETS_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),

@@ -83,7 +83,8 @@ def test_ops_nonempty(spark):
     must_be_nonempty = ["pages_by_host", "dedup_exact", "token_counts",
                         "doc_fingerprint", "lang_id", "quality_score",
                         "simhash", "dedup_simhash", "minhash_signatures",
-                        "dedup_minhash_lsh", "ngram_jaccard", "ann_topk",
+                        "dedup_minhash_lsh", "ngram_jaccard",
+                        "dedup_clusters", "ann_topk",
                         "ann_lsh_buckets", "events_hourly", "sessionize",
                         "orders_by_nation", "top_spenders"]
     for name in must_be_nonempty:
