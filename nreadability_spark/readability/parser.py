@@ -384,10 +384,16 @@ class _Tokenizer:
             while i < n and s[i] in " \t\n\r\f":
                 i += 1
             value = None
-            if i < n and s[i] == "=":
-                i += 1
-                while i < n and s[i] in " \t\n\r\f":
+            if i < n and (s[i] == "=" or s[i] in "\"'"):
+                # the reference also accepts a bare quoted literal with no
+                # '=' (SgmlReader.cs ParseStartTag: ch is '=' OR a quote):
+                # it scans the literal as the value — critically, this also
+                # consumes a stray quote at attribute-NAME position (empty
+                # aname), which otherwise never advances (hang)
+                if s[i] == "=":
                     i += 1
+                    while i < n and s[i] in " \t\n\r\f":
+                        i += 1
                 if i < n and s[i] in "\"'":
                     q = s[i]
                     i += 1

@@ -55,6 +55,27 @@ def test_coerced_comment_serializes_as_valid_xml():
     assert "--" not in inner
 
 
+@pytest.mark.parametrize("html, attrs", [
+    # a stray quote at attribute-name position must consume the quoted
+    # literal (reference ParseStartTag: ch is '=' OR a quote) — this input
+    # previously never advanced the scan position (infinite loop)
+    ("<p class='x<div class='sidebar'>", None),
+    ("<a 'lonely quote'>x</a>", {}),
+    # a quote directly after a name carries the value, no '=' needed
+    ("<a name'v'>x</a>", {"name": "v"}),
+    ("<div class='x' 'y' id='z'>t</div>", {"class": "x", "id": "z"}),
+    ('<a "">x</a>', {}),
+    ("<a ''''>x</a>", {}),
+])
+def test_stray_quotes_in_tags_terminate(html, attrs):
+    from nreadability_spark.readability.dom import Element
+    doc = build_document(html)  # must not hang
+    if attrs is not None:
+        el = next(e for e in doc.root.descendants()
+                  if isinstance(e, Element) and e.tag in ("a", "div"))
+        assert el.attrs == attrs
+
+
 @pytest.mark.parametrize("text, expected", [
     ("7", 7), (" 7 ", 7), ("+3", 3), ("-2", -2),
     ("\t12\r\n", 12),
