@@ -4,8 +4,11 @@
                deterministically from sf0.001 ``documents``.
 ``queries``  — every implemented operator (SURVEY.md §2 + training-data
                ops); callables take (spark, sf_dir).
-``oracle_sql`` — DuckDB SQL for each SQL-expressible query. Extraction
-               queries (opaque readability UDF) get the rows-only check.
+``oracle_sql`` — one DuckDB oracle per query (all 26): the SQL ops run
+               directly against the parquet tables; the kernel queries
+               (opaque readability UDF) read parquet materialized from the
+               deterministic pure-Python kernel at sf0.01 by
+               scripts/gen_oracles.py — regenerate after kernel changes.
 """
 
 from __future__ import annotations
