@@ -111,6 +111,56 @@ TOKEN_COUNTS_SQL = f"""
 """
 
 
+# BPE-ish tokenizer (GPT-2-shaped): optionally-space-prefixed runs of
+# letters / digits / other-symbols compete leftmost-first. Explicit char
+# classes only — no \s, \w — so Java regex (Spark) and RE2 (DuckDB) agree
+# byte-for-byte. The classes are disjoint, so per-class counts from
+# independent scans equal the single-alternation scan's.
+_BPE_WS = " \t\r\n"
+_BPE_PAT = (f" ?[a-z]+| ?[0-9]+| ?[^a-z0-9{_BPE_WS}]+")
+_BPE_WORD = " ?[a-z]+"
+_BPE_NUM = " ?[0-9]+"
+_BPE_OTHER = f" ?[^a-z0-9{_BPE_WS}]+"
+
+
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(low, F.lit(pat), 0)) \
+            .cast("long")
+
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n(_BPE_PAT).alias("n_bpe_tokens"),
+        n(_BPE_WORD).alias("n_word_tokens"),
+        n(_BPE_NUM).alias("n_num_tokens"),
+        n(_BPE_OTHER).alias("n_other_tokens"),
+        F.expr("cast(aggregate(regexp_extract_all(lower(text), "
+               f"' ?[a-z]+| ?[0-9]+| ?[^a-z0-9{_BPE_WS}]+', 0), 0L, "
+               "(acc, t) -> acc + length(t)) as bigint)")
+        .alias("bpe_token_chars"),
+    )
+
+
+TOKEN_COUNTS_BPE_SQL = f"""
+    select cast(doc_id as bigint) as doc_id,
+           cast(len(regexp_extract_all(lower(text), '{_BPE_PAT}'))
+                as bigint) as n_bpe_tokens,
+           cast(len(regexp_extract_all(lower(text), '{_BPE_WORD}'))
+                as bigint) as n_word_tokens,
+           cast(len(regexp_extract_all(lower(text), '{_BPE_NUM}'))
+                as bigint) as n_num_tokens,
+           cast(len(regexp_extract_all(lower(text), '{_BPE_OTHER}'))
+                as bigint) as n_other_tokens,
+           cast(coalesce(list_sum(list_transform(
+                regexp_extract_all(lower(text), '{_BPE_PAT}'),
+                t -> length(t))), 0) as bigint) as bpe_token_chars
+    from documents
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.selectExpr(
@@ -881,6 +931,7 @@ SQL_OPS = {
     "pages_by_host": (pages_by_host, PAGES_BY_HOST_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "token_counts_bpe": (token_counts_bpe, TOKEN_COUNTS_BPE_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SCORE_SQL),

@@ -81,6 +81,7 @@ def test_op_parity(spark, duck, name):
 def test_ops_nonempty(spark):
     """Guard against trivially-empty results hiding broken ops."""
     must_be_nonempty = ["pages_by_host", "dedup_exact", "token_counts",
+                        "token_counts_bpe",
                         "doc_fingerprint", "lang_id", "quality_score",
                         "simhash", "dedup_simhash", "minhash_signatures",
                         "dedup_minhash_lsh", "ngram_jaccard",
