@@ -87,7 +87,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     for name in ("dedup_exact", "simhash", "dedup_simhash",
                  "minhash_signatures", "dedup_minhash_lsh", "ngram_jaccard",
                  "dedup_clusters",
-                 "ann_topk", "ann_lsh_buckets", "dedup_embedding",
+                 "ann_topk", "ann_ivf_topk", "ann_lsh_buckets", "dedup_embedding",
                  "sessionize", "events_hourly", "orders_by_nation",
                  "top_spenders", "token_counts", "token_counts_bpe",
                  "doc_fingerprint",

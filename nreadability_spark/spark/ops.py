@@ -704,6 +704,111 @@ _N_PLANES = 8
 # deterministic integer hyperplanes: LCG over (plane, dim)
 _LCG = "((1103515245 * cast({j} * 64 + i as bigint) + 12345) % 65536) - 32768"
 
+# --- IVF: coarse-quantizer cells as the other ANN scale path --------------------
+
+_N_CELLS = 16
+_N_PROBE = 4
+# deterministic integer centroids, component range matched to the
+# quantized embeddings (+-1000) so the norm term doesn't swamp the dot
+# term in the assignment score; seed offset 64 keeps them distinct from
+# the LSH hyperplanes
+_IVF_W = ("((1103515245 * cast(({j} + 64) * 64 + i as bigint) + 12345) "
+          "% 2001) - 1000")
+
+
+def _ivf_scores(vec: str, dialect: str) -> str:
+    """Array of per-cell structs (score, -cell): score = 2*v.c - |c|^2,
+    i.e. the integer argmax equivalent of nearest-centroid; struct
+    comparison breaks score ties toward the smaller cell id identically
+    in both engines."""
+    w = _IVF_W.format(j="j")
+    if dialect == "spark":
+        cdot = (f"aggregate(zip_with({vec}, transform(sequence(0, 63), "
+                f"i -> {w}), (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        cnorm = (f"aggregate(transform(sequence(0, 63), i -> {w}), 0L, "
+                 "(acc, x) -> acc + x * x)")
+        return (f"transform(sequence(0, {_N_CELLS - 1}), "
+                f"j -> struct(2 * {cdot} - {cnorm} as s, -j as nj))")
+    cdot = (f"cast(list_dot_product(list_transform({vec}, x -> x::double), "
+            f"list_transform(range(0, 64), i -> ({w})::double)) as bigint)")
+    cnorm = (f"cast(list_dot_product("
+             f"list_transform(range(0, 64), i -> ({w})::double), "
+             f"list_transform(range(0, 64), i -> ({w})::double)) as bigint)")
+    return (f"list_transform(range(0, {_N_CELLS}), "
+            f"j -> {{'s': 2 * {cdot} - {cnorm}, 'nj': -j}})")
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: every vector is assigned to its nearest of 16
+    deterministic coarse centroids; queries probe their 4 nearest cells
+    and run the exact integer top-k only against candidates in those
+    cells. This is the inverted-file scale path: the candidate side is
+    partitioned by cell, so each query touches ~nprobe/ncells of the
+    corpus instead of all of it (recall < 1 by design)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    c = emb.where(F.col("vec_id") >= _N_QUERIES).selectExpr(
+        "vec_id as cand_id", f"{_QVEC} as cv"
+    ).selectExpr(
+        "cand_id", "cv",
+        f"-array_max({_ivf_scores('cv', 'spark')}).nj as cell")
+    q = emb.where(F.col("vec_id") < _N_QUERIES).selectExpr(
+        "vec_id as query_id", f"{_QVEC} as qv"
+    ).selectExpr(
+        "query_id", "qv",
+        f"transform(slice(reverse(array_sort("
+        f"{_ivf_scores('qv', 'spark')})), 1, {_N_PROBE}), "
+        "x -> -x.nj) as probed")
+    probes = q.selectExpr("query_id", "qv",
+                          "explode(probed) as cell")
+    pairs = probes.join(c, "cell").selectExpr(
+        "query_id", "cand_id",
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, "
+        "(acc, v) -> acc + v) as dot")
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(),
+                                               F.col("cand_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select(F.col("query_id").cast("long"),
+                    F.col("cand_id").cast("long"),
+                    F.col("dot").cast("long"),
+                    F.col("rank").cast("long")))
+
+
+ANN_IVF_TOPK_SQL = f"""
+    with c as (
+      select vec_id as cand_id, qv as cv,
+             -(list_max({_ivf_scores('qv', 'duck')})).nj as cell
+      from (select vec_id, {_QVEC_DUCK} as qv from embeddings
+            where vec_id >= {_N_QUERIES})
+    ),
+    q as (
+      select vec_id as query_id, qv,
+             list_transform(list_slice(list_reverse(list_sort(
+               {_ivf_scores('qv', 'duck')})), 1, {_N_PROBE}),
+               x -> -x.nj) as probed
+      from (select vec_id, {_QVEC_DUCK} as qv from embeddings
+            where vec_id < {_N_QUERIES})
+    ),
+    probes as (select query_id, qv, unnest(probed) as cell from q),
+    pairs as (
+      select p.query_id, c.cand_id,
+             cast(list_dot_product(list_transform(p.qv, x -> x::double),
+                                   list_transform(c.cv, x -> x::double))
+                  as bigint) as dot
+      from probes p join c on p.cell = c.cell
+    ),
+    ranked as (
+      select query_id, cand_id, dot,
+             row_number() over (partition by query_id
+                                order by dot desc, cand_id asc) as rank
+      from pairs
+    )
+    select cast(query_id as bigint) as query_id,
+           cast(cand_id as bigint) as cand_id,
+           cast(dot as bigint) as dot, cast(rank as bigint) as rank
+    from ranked where rank <= {_TOP_K}
+"""
+
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket per vector — integer-exact sign bits."""
@@ -942,6 +1047,7 @@ SQL_OPS = {
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_BUCKETS_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),

@@ -85,7 +85,7 @@ def test_ops_nonempty(spark):
                         "doc_fingerprint", "lang_id", "quality_score",
                         "simhash", "dedup_simhash", "minhash_signatures",
                         "dedup_minhash_lsh", "ngram_jaccard",
-                        "dedup_clusters", "ann_topk",
+                        "dedup_clusters", "ann_topk", "ann_ivf_topk",
                         "ann_lsh_buckets", "events_hourly", "sessionize",
                         "orders_by_nation", "top_spenders"]
     for name in must_be_nonempty:
