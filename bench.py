@@ -87,7 +87,8 @@ def run_bench(spark, sf_dir: str) -> dict:
     for name in ("dedup_exact", "simhash", "dedup_simhash",
                  "minhash_signatures", "dedup_minhash_lsh", "ngram_jaccard",
                  "dedup_clusters",
-                 "ann_topk", "ann_ivf_topk", "ann_lsh_buckets", "dedup_embedding",
+                 "ann_topk", "ann_ivf_topk", "ann_ivf_topk64",
+                 "ann_lsh_buckets", "dedup_embedding",
                  "sessionize", "events_hourly", "orders_by_nation",
                  "top_spenders", "token_counts", "token_counts_bpe",
                  "doc_fingerprint",
@@ -97,6 +98,14 @@ def run_bench(spark, sf_dir: str) -> dict:
         df = fn(spark, sf_dir)
         df.agg(F.count("*")).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # chained form: when the LSH candidates are already materialized
+    # (the real pipeline shape), ngram_jaccard skips recomputing them
+    from nreadability_spark.spark.ops import dedup_minhash_lsh, ngram_jaccard
+    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    ngram_jaccard(spark, sf_dir, cand=cand).agg(F.count("*")).collect()
+    timings["ngram_jaccard_chained"] = round(time.perf_counter() - t0, 3)
 
     return {
         "metric": "extraction_wall_sec",

@@ -15,6 +15,7 @@ Engine-parity rules used throughout (so value-hashes match exactly):
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
@@ -22,6 +23,31 @@ from pyspark.sql.window import Window
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Materialize an iterative-loop intermediate and cut its lineage.
+
+    Default is ``localCheckpoint`` (blocks live on executors — fastest, but
+    on a real cluster an executor loss after the cut is unrecoverable and
+    restarts the job). Setting ``spark.nreadability.checkpointDir`` (or the
+    ``NREADABILITY_CHECKPOINT_DIR`` env var) switches every iterative op in
+    this module — and the multi-page stitcher — to reliable
+    ``checkpoint()`` into that directory, the fault-tolerant 100 TB path.
+    """
+    spark = df.sparkSession
+    cdir = None
+    try:
+        cdir = spark.conf.get("spark.nreadability.checkpointDir", None)
+    except Exception:
+        cdir = None
+    cdir = cdir or os.environ.get("NREADABILITY_CHECKPOINT_DIR")
+    if cdir:
+        sc = spark.sparkContext
+        if not sc.getCheckpointDir():
+            sc.setCheckpointDir(cdir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 # --- corpus with synthetic duplicates (dedup demos) ---------------------------
@@ -124,8 +150,11 @@ _BPE_OTHER = f" ?[^a-z0-9{_BPE_WS}]+"
 
 
 def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # text is coalesced to '' on BOTH engines: Spark's aggregate() yields
+    # NULL on NULL input while DuckDB's list_sum coalesces to 0 — without
+    # the wrap the two sides disagree on NULL rows
     docs = _read(spark, sf_dir, "documents")
-    low = F.lower(F.col("text"))
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
 
     def n(pat):
         return F.size(F.regexp_extract_all(low, F.lit(pat), 0)) \
@@ -137,7 +166,7 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(_BPE_WORD).alias("n_word_tokens"),
         n(_BPE_NUM).alias("n_num_tokens"),
         n(_BPE_OTHER).alias("n_other_tokens"),
-        F.expr("cast(aggregate(regexp_extract_all(lower(text), "
+        F.expr("cast(aggregate(regexp_extract_all(lower(coalesce(text, '')), "
                f"' ?[a-z]+| ?[0-9]+| ?[^a-z0-9{_BPE_WS}]+', 0), 0L, "
                "(acc, t) -> acc + length(t)) as bigint)")
         .alias("bpe_token_chars"),
@@ -146,16 +175,16 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_COUNTS_BPE_SQL = f"""
     select cast(doc_id as bigint) as doc_id,
-           cast(len(regexp_extract_all(lower(text), '{_BPE_PAT}'))
+           cast(len(regexp_extract_all(lower(coalesce(text, '')), '{_BPE_PAT}'))
                 as bigint) as n_bpe_tokens,
-           cast(len(regexp_extract_all(lower(text), '{_BPE_WORD}'))
+           cast(len(regexp_extract_all(lower(coalesce(text, '')), '{_BPE_WORD}'))
                 as bigint) as n_word_tokens,
-           cast(len(regexp_extract_all(lower(text), '{_BPE_NUM}'))
+           cast(len(regexp_extract_all(lower(coalesce(text, '')), '{_BPE_NUM}'))
                 as bigint) as n_num_tokens,
-           cast(len(regexp_extract_all(lower(text), '{_BPE_OTHER}'))
+           cast(len(regexp_extract_all(lower(coalesce(text, '')), '{_BPE_OTHER}'))
                 as bigint) as n_other_tokens,
            cast(coalesce(list_sum(list_transform(
-                regexp_extract_all(lower(text), '{_BPE_PAT}'),
+                regexp_extract_all(lower(coalesce(text, '')), '{_BPE_PAT}'),
                 t -> length(t))), 0) as bigint) as bpe_token_chars
     from documents
 """
@@ -323,23 +352,28 @@ _HAMMING_MAX = 8
 _MAX_BUCKET = 100
 
 
-def _cap_buckets(bands: DataFrame) -> DataFrame:
-    """Drop rows of oversized (band_id, band_sig) buckets. The oversized
-    list is tiny (usually empty), so the anti-join broadcasts."""
-    big = (bands.groupBy("band_id", "band_sig")
+def _cap_buckets(bands: DataFrame,
+                 keys: tuple[str, ...] = ("band_id", "band_sig")
+                 ) -> DataFrame:
+    """Drop rows of oversized buckets (any key tuple). The oversized list
+    is tiny (usually empty), so the anti-join broadcasts. Used by every
+    bucketed self-join in the dedup family — text LSH bands and embedding
+    LSH buckets alike — so no single hot key can produce O(n^2) pairs."""
+    key_list = list(keys)
+    big = (bands.groupBy(*key_list)
            .agg(F.count("*").alias("n"))
            .where(F.col("n") > _MAX_BUCKET)
-           .select("band_id", "band_sig"))
-    return bands.join(F.broadcast(big), ["band_id", "band_sig"],
-                      "left_anti")
+           .select(*key_list))
+    return bands.join(F.broadcast(big), key_list, "left_anti")
 
 
-def _cap_buckets_duck(bands_cte: str) -> str:
+def _cap_buckets_duck(bands_cte: str, keys: str = "band_id, band_sig",
+                      out_cte: str = "bands_ok") -> str:
     return f"""
-      big as (select band_id, band_sig from {bands_cte}
-              group by 1, 2 having count(*) > {_MAX_BUCKET}),
-      bands_ok as (select b.* from {bands_cte} b
-                   anti join big g using (band_id, band_sig))
+      big as (select {keys} from {bands_cte}
+              group by {keys} having count(*) > {_MAX_BUCKET}),
+      {out_cte} as (select b.* from {bands_cte} b
+                    anti join big g using ({keys}))
     """
 
 
@@ -356,7 +390,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token explode + 60 bit-sum aggs — otherwise recomputes for each of
     # the four consumers (two join sides + the bucket-size agg); Spark's
     # ReuseExchange can't dedup these subplans across the column renames
-    bands = bands.localCheckpoint(eager=True)
+    bands = _cut_lineage(bands)
     bands = _cap_buckets(bands)
     a = bands.selectExpr("doc_id as doc1", "simhash as sim1",
                          "band_id", "band_sig")
@@ -474,7 +508,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("doc_id", "band.band_id", "band.band_sig")
     # one row per (doc, band): materialize once instead of recomputing
     # the shingle explode + 16 min-aggs per consumer (see dedup_simhash)
-    bands = bands.localCheckpoint(eager=True)
+    bands = _cut_lineage(bands)
     bands = _cap_buckets(bands)
     a = bands.selectExpr("doc_id as doc1", "band_id", "band_sig")
     b = bands.selectExpr("doc_id as doc2", "band_id", "band_sig")
@@ -506,19 +540,26 @@ def _lsh_sql_duck() -> str:
 DEDUP_MINHASH_LSH_SQL = _lsh_sql_duck()
 
 
-def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard (scaled-integer) for LSH candidate pairs."""
+def ngram_jaccard(spark: SparkSession, sf_dir: str,
+                  cand: DataFrame | None = None) -> DataFrame:
+    """Exact 3-gram Jaccard (scaled-integer) for LSH candidate pairs.
+
+    ``cand`` (doc1, doc2) lets pipeline users pass in an already-computed
+    candidate-pair table (e.g. the dedup_minhash_lsh output they just
+    materialized) instead of recomputing the whole LSH pipeline inside
+    this query; the self-contained form remains the driver contract."""
     corpus = _corpus(spark, sf_dir)
     # distinct already shuffles the full shingle table once; checkpointing
     # keeps that one copy instead of recomputing the explode+distinct for
     # each of the three consumers (sizes + both pair-join sides); tokens
     # hoisted for the same lambda-reevaluation reason as in
     # minhash_signatures
-    sh = corpus.selectExpr("doc_id", f"{_TOKENS} as toks") \
-        .selectExpr("doc_id", f"explode({_SHINGLES_OF_TOKS}) as shingle") \
-        .distinct() \
-        .localCheckpoint(eager=True)
-    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    sh = _cut_lineage(
+        corpus.selectExpr("doc_id", f"{_TOKENS} as toks")
+        .selectExpr("doc_id", f"explode({_SHINGLES_OF_TOKS}) as shingle")
+        .distinct())
+    if cand is None:
+        cand = _cut_lineage(dedup_minhash_lsh(spark, sf_dir))
     # the exploded shingle table is the biggest intermediate in the whole
     # engine: semi-join it down to candidate docs BEFORE the pair joins so
     # only candidate shingles shuffle (doc_id-level filter, so per-doc
@@ -566,25 +607,36 @@ NGRAM_JACCARD_SQL = f"""
 """
 
 
+_CC_MAX_ROUNDS = 15
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the LSH candidate
     pairs via iterative min-label propagation (the Spark-native shape for
-    graph fixpoints without GraphFrames — same pattern as the multi-page
-    chain discovery). Every corpus doc gets a cluster_id = the minimum
-    doc_id reachable through candidate-pair edges; cluster_id == doc_id
-    marks the kept representative. Rounds needed = component diameter
-    (near-dup components are small cliques); each round is one
-    shuffle-join, lineage cut by localCheckpoint."""
+    graph fixpoints without GraphFrames). Every corpus doc gets a
+    cluster_id = the minimum doc_id reachable through candidate-pair
+    edges; cluster_id == doc_id marks the kept representative.
+
+    Scale shape: the fixpoint runs ONLY over docs incident to an LSH edge
+    (a sliver of a web corpus — here 300 of ~60k at sf0.1); docs untouched
+    by any edge are unioned in as singleton clusters in one final narrow
+    pass, so the per-round shuffles never see the full corpus. Pointer
+    jumping halves remaining path lengths each round (O(log diameter)
+    rounds); convergence is checked every 2 rounds so half the driver
+    round-trips disappear; lineage is cut per round via ``_cut_lineage``
+    (reliable ``checkpoint()`` when a checkpoint dir is configured)."""
     corpus = _corpus(spark, sf_dir)
     pairs = dedup_minhash_lsh(spark, sf_dir)
     # undirected neighbor list (both directions)
-    edges = (pairs.selectExpr("doc1 as src", "doc2 as dst")
-             .union(pairs.selectExpr("doc2 as src", "doc1 as dst"))
-             .localCheckpoint(eager=True))
-    labels = corpus.selectExpr("cast(doc_id as bigint) as doc_id",
-                               "cast(doc_id as bigint) as lbl") \
-        .localCheckpoint(eager=True)
-    for _round in range(15):
+    edges = _cut_lineage(
+        pairs.selectExpr("doc1 as src", "doc2 as dst")
+        .union(pairs.selectExpr("doc2 as src", "doc1 as dst")))
+    # fixpoint domain = edge endpoints only
+    labels = _cut_lineage(
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .selectExpr("doc_id", "doc_id as lbl"))
+    converged = False
+    for _round in range(_CC_MAX_ROUNDS):
         neigh = (edges.join(labels.selectExpr("doc_id as dst", "lbl"),
                             "dst")
                  .groupBy(F.col("src").alias("doc_id"))
@@ -594,24 +646,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "least(lbl, coalesce(nlbl, lbl)) as lbl"))
         # pointer jumping: also adopt the label's own label, halving the
         # remaining path each round -> O(log diameter) rounds
-        new_labels = (new_labels
-                      .join(labels.selectExpr("doc_id as lbl", "lbl as _p"),
-                            "lbl", "left")
-                      .selectExpr("doc_id",
-                                  "least(lbl, coalesce(_p, lbl)) as lbl")
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.join(labels.selectExpr("doc_id",
-                                                     "lbl as old_lbl"),
-                                   "doc_id")
-                   .where("lbl != old_lbl").limit(1).count())
+        new_labels = _cut_lineage(
+            new_labels
+            .join(labels.selectExpr("doc_id as lbl", "lbl as _p"),
+                  "lbl", "left")
+            .selectExpr("doc_id",
+                        "least(lbl, coalesce(_p, lbl)) as lbl"))
+        prev = labels
         labels = new_labels
-        if changed == 0:
-            break
+        if _round % 2 == 1 or _round == _CC_MAX_ROUNDS - 1:
+            changed = (new_labels.join(prev.selectExpr("doc_id",
+                                                       "lbl as old_lbl"),
+                                       "doc_id")
+                       .where("lbl != old_lbl").limit(1).count())
+            if changed == 0:
+                converged = True
+                break
+    if not converged:
+        # the DuckDB oracle is an exact recursive CTE: an unconverged
+        # result would silently diverge from it, so say it loudly
+        warnings.warn(
+            f"dedup_clusters: min-label propagation still changing after "
+            f"{_CC_MAX_ROUNDS} rounds — labels may not match the exact "
+            "connected components", RuntimeWarning, stacklevel=2)
+    # touched docs carry their propagated label; everything else is its
+    # own singleton cluster (size 1, representative) — no join needed
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("csz"))
-    return (labels.join(sizes, "lbl")
-            .selectExpr("doc_id", "lbl as cluster_id",
-                        "cast(csz as bigint) as cluster_size",
-                        "cast(doc_id = lbl as boolean) as is_representative"))
+    touched = (labels.join(sizes, "lbl")
+               .selectExpr("doc_id", "lbl as cluster_id",
+                           "cast(csz as bigint) as cluster_size",
+                           "cast(doc_id = lbl as boolean) "
+                           "as is_representative"))
+    singletons = (corpus.selectExpr("cast(doc_id as bigint) as doc_id")
+                  .join(labels.select("doc_id"), "doc_id", "left_anti")
+                  .selectExpr("doc_id", "doc_id as cluster_id",
+                              "cast(1 as bigint) as cluster_size",
+                              "cast(true as boolean) as is_representative"))
+    return touched.unionByName(singletons)
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -706,57 +777,78 @@ _LCG = "((1103515245 * cast({j} * 64 + i as bigint) + 12345) % 65536) - 32768"
 
 # --- IVF: coarse-quantizer cells as the other ANN scale path --------------------
 
+# Defaults for the driver-contract query; production guidance is
+# ncells ~ sqrt(N) (so cell lists and the probe fan-out balance) — the
+# registry also carries a 64-cell/8-probe variant to evidence that the
+# join key cardinality scales with the knob, and at real corpus sizes the
+# candidate table should be WRITTEN partitioned by cell (same pre-salted
+# layout idea as the pages table) so probes prune file groups instead of
+# shuffling the corpus.
 _N_CELLS = 16
 _N_PROBE = 4
-# deterministic integer centroids, component range matched to the
-# quantized embeddings (+-1000) so the norm term doesn't swamp the dot
-# term in the assignment score; seed offset 64 keeps them distinct from
-# the LSH hyperplanes
-_IVF_W = ("((1103515245 * cast(({j} + 64) * 64 + i as bigint) + 12345) "
-          "% 2001) - 1000")
+_IVF_DIM = 64
 
 
-def _ivf_scores(vec: str, dialect: str) -> str:
+def _ivf_centroid(j: int, i: int) -> int:
+    """Deterministic integer centroid component: LCG over (cell, dim),
+    range matched to the quantized embeddings (+-1000) so the norm term
+    doesn't swamp the dot term; seed offset 64 keeps the centroids
+    distinct from the LSH hyperplanes."""
+    return ((1103515245 * ((j + 64) * _IVF_DIM + i) + 12345) % 2001) - 1000
+
+
+def _ivf_scores(vec: str, dialect: str, n_cells: int) -> str:
     """Array of per-cell structs (score, -cell): score = 2*v.c - |c|^2,
     i.e. the integer argmax equivalent of nearest-centroid; struct
     comparison breaks score ties toward the smaller cell id identically
-    in both engines."""
-    w = _IVF_W.format(j="j")
+    in both engines. Centroids are baked in as literal arrays — constant
+    vectors in the plan — instead of re-expanding the LCG transform per
+    row per cell (16x64 expression evaluations/row in the round-2 shape).
+    """
+    entries = []
+    for j in range(n_cells):
+        w = [_ivf_centroid(j, i) for i in range(_IVF_DIM)]
+        norm = sum(x * x for x in w)
+        if dialect == "spark":
+            arr = "array(" + ",".join(f"{x}L" for x in w) + ")"
+            dot = (f"aggregate(zip_with({vec}, {arr}, (x, y) -> x * y), "
+                   "0L, (acc, v) -> acc + v)")
+            entries.append(
+                f"struct(2 * {dot} - {norm}L as s, {-j} as nj)")
+        else:
+            arr = "[" + ",".join(f"{x}::double" for x in w) + "]"
+            dot = (f"cast(list_dot_product(list_transform({vec}, "
+                   f"x -> x::double), {arr}) as bigint)")
+            entries.append(f"{{'s': 2 * {dot} - {norm}, 'nj': {-j}}}")
     if dialect == "spark":
-        cdot = (f"aggregate(zip_with({vec}, transform(sequence(0, 63), "
-                f"i -> {w}), (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-        cnorm = (f"aggregate(transform(sequence(0, 63), i -> {w}), 0L, "
-                 "(acc, x) -> acc + x * x)")
-        return (f"transform(sequence(0, {_N_CELLS - 1}), "
-                f"j -> struct(2 * {cdot} - {cnorm} as s, -j as nj))")
-    cdot = (f"cast(list_dot_product(list_transform({vec}, x -> x::double), "
-            f"list_transform(range(0, 64), i -> ({w})::double)) as bigint)")
-    cnorm = (f"cast(list_dot_product("
-             f"list_transform(range(0, 64), i -> ({w})::double), "
-             f"list_transform(range(0, 64), i -> ({w})::double)) as bigint)")
-    return (f"list_transform(range(0, {_N_CELLS}), "
-            f"j -> {{'s': 2 * {cdot} - {cnorm}, 'nj': -j}})")
+        return "array(" + ", ".join(entries) + ")"
+    return "[" + ", ".join(entries) + "]"
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: every vector is assigned to its nearest of 16
-    deterministic coarse centroids; queries probe their 4 nearest cells
-    and run the exact integer top-k only against candidates in those
-    cells. This is the inverted-file scale path: the candidate side is
-    partitioned by cell, so each query touches ~nprobe/ncells of the
-    corpus instead of all of it (recall < 1 by design)."""
+def ann_ivf_topk(spark: SparkSession, sf_dir: str,
+                 n_cells: int = _N_CELLS,
+                 n_probe: int = _N_PROBE) -> DataFrame:
+    """IVF-style ANN: every vector is assigned to its nearest of
+    ``n_cells`` deterministic coarse centroids; queries probe their
+    ``n_probe`` nearest cells and run the exact integer top-k only against
+    candidates in those cells. This is the inverted-file scale path: each
+    query touches ~nprobe/ncells of the corpus instead of all of it
+    (recall < 1 by design). Size ``n_cells ~ sqrt(N)`` so the cell join
+    key has enough cardinality to spread the exchange — and at production
+    scale store the candidate table partitioned by cell so probing prunes
+    partitions instead of shuffling."""
     emb = _read(spark, sf_dir, "embeddings")
     c = emb.where(F.col("vec_id") >= _N_QUERIES).selectExpr(
         "vec_id as cand_id", f"{_QVEC} as cv"
     ).selectExpr(
         "cand_id", "cv",
-        f"-array_max({_ivf_scores('cv', 'spark')}).nj as cell")
+        f"-array_max({_ivf_scores('cv', 'spark', n_cells)}).nj as cell")
     q = emb.where(F.col("vec_id") < _N_QUERIES).selectExpr(
         "vec_id as query_id", f"{_QVEC} as qv"
     ).selectExpr(
         "query_id", "qv",
         f"transform(slice(reverse(array_sort("
-        f"{_ivf_scores('qv', 'spark')})), 1, {_N_PROBE}), "
+        f"{_ivf_scores('qv', 'spark', n_cells)})), 1, {n_probe}), "
         "x -> -x.nj) as probed")
     probes = q.selectExpr("query_id", "qv",
                           "explode(probed) as cell")
@@ -774,17 +866,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank").cast("long")))
 
 
-ANN_IVF_TOPK_SQL = f"""
+def _ann_ivf_sql(n_cells: int, n_probe: int) -> str:
+    return f"""
     with c as (
       select vec_id as cand_id, qv as cv,
-             -(list_max({_ivf_scores('qv', 'duck')})).nj as cell
+             -(list_max({_ivf_scores('qv', 'duck', n_cells)})).nj as cell
       from (select vec_id, {_QVEC_DUCK} as qv from embeddings
             where vec_id >= {_N_QUERIES})
     ),
     q as (
       select vec_id as query_id, qv,
              list_transform(list_slice(list_reverse(list_sort(
-               {_ivf_scores('qv', 'duck')})), 1, {_N_PROBE}),
+               {_ivf_scores('qv', 'duck', n_cells)})), 1, {n_probe}),
                x -> -x.nj) as probed
       from (select vec_id, {_QVEC_DUCK} as qv from embeddings
             where vec_id < {_N_QUERIES})
@@ -808,6 +901,20 @@ ANN_IVF_TOPK_SQL = f"""
            cast(dot as bigint) as dot, cast(rank as bigint) as rank
     from ranked where rank <= {_TOP_K}
 """
+
+
+ANN_IVF_TOPK_SQL = _ann_ivf_sql(_N_CELLS, _N_PROBE)
+
+
+def ann_ivf_topk64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ncells ~ sqrt(N) configuration (64 cells, 8 probes): same IVF
+    plan, but the cell join key now has 64 distinct values — evidence
+    that the exchange cardinality scales with the knob rather than being
+    pinned at 16."""
+    return ann_ivf_topk(spark, sf_dir, n_cells=64, n_probe=8)
+
+
+ANN_IVF_TOPK64_SQL = _ann_ivf_sql(64, 8)
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -847,11 +954,15 @@ ANN_LSH_BUCKETS_SQL = _ann_lsh_sql_duck()
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH bucket prefilter, then exact
     integer-quantized cosine (milli-units) — the scale path never compares
-    across buckets."""
+    across buckets. Oversized buckets are dropped before the self-join
+    (same ``_MAX_BUCKET`` guard as the text-LSH dedups): at web scale
+    near-zero vectors and boilerplate embeddings pile into one hot bucket
+    whose O(n^2) pair output no AQE split can save."""
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.selectExpr("vec_id", f"{_QVEC} as qv")
     buckets = ann_lsh_buckets(spark, sf_dir)
     side = q.join(buckets, "vec_id")
+    side = _cap_buckets(side, keys=("bucket",))
     a = side.selectExpr("vec_id as id1", "qv as v1", "bucket")
     b = side.selectExpr("vec_id as id2", "qv as v2", "bucket")
     pairs = (a.join(b, "bucket").where(F.col("id1") < F.col("id2"))
@@ -871,8 +982,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_EMBEDDING_SQL = f"""
     with q as (select vec_id, {_QVEC_DUCK} as qv from embeddings),
     buckets as ({ANN_LSH_BUCKETS_SQL}),
-    side as (select q.vec_id, q.qv, b.bucket
-             from q join buckets b on q.vec_id = b.vec_id),
+    side_all as (select q.vec_id, q.qv, b.bucket
+                 from q join buckets b on q.vec_id = b.vec_id),
+    {_cap_buckets_duck('side_all', keys='bucket', out_cte='side')},
     pairs as (
       select a.vec_id as id1, b.vec_id as id2,
              cast(list_dot_product(list_transform(a.qv, x -> x::double),
@@ -1048,6 +1160,7 @@ SQL_OPS = {
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
+    "ann_ivf_topk64": (ann_ivf_topk64, ANN_IVF_TOPK64_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_BUCKETS_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),

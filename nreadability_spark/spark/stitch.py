@@ -74,7 +74,10 @@ def chain_membership(spark: SparkSession, pages: DataFrame,
         nxt = (nxt.join(chains.select("root_url", "url").distinct(),
                         ["root_url", "url"], "left_anti")
                .dropDuplicates(["root_url", "url"]))
-        nxt = nxt.localCheckpoint(eager=True)  # cut iterative lineage
+        # cut iterative lineage (reliable checkpoint() when configured —
+        # see ops._cut_lineage)
+        from .ops import _cut_lineage
+        nxt = _cut_lineage(nxt)
         if nxt.isEmpty():
             break
         chains = chains.unionByName(nxt)

@@ -99,11 +99,59 @@ def test_ann_topk_broadcasts_query_side(spark):
 def test_lsh_band_join_is_bucket_capped(spark):
     """The oversized-bucket guard (skew defuse) must stay in the plan: a
     broadcast anti-join removes mega-bucket rows before the band self-join,
-    so one hot (band_id, band_sig) key can't produce O(n^2) join output."""
-    from nreadability_spark.spark.ops import dedup_minhash_lsh, dedup_simhash
-    for q in (dedup_minhash_lsh, dedup_simhash):
+    so one hot (band_id, band_sig) key can't produce O(n^2) join output.
+    dedup_embedding carries the same guard on its (bucket) key — at web
+    scale near-zero/boilerplate embeddings pile into one LSH bucket."""
+    from nreadability_spark.spark.ops import (dedup_embedding,
+                                              dedup_minhash_lsh,
+                                              dedup_simhash)
+    for q in (dedup_minhash_lsh, dedup_simhash, dedup_embedding):
         plan = plan_of(q(spark, SF_DIR))
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, q.__name__
+
+
+def test_ivf_cells_scale_with_knob(spark):
+    """ann_ivf_topk's cell join key cardinality must follow n_cells (the
+    round-2 shape hard-coded 16 — at 100 TB the exchange would hash the
+    whole candidate corpus into <=16 partitions), and the centroids must
+    be literal arrays in the plan, not per-row LCG re-expansions."""
+    from nreadability_spark.spark.ops import ann_ivf_topk
+    df64 = ann_ivf_topk(spark, SF_DIR, n_cells=64, n_probe=8)
+    from nreadability_spark.spark.ops import _ivf_scores
+    # plan contains the literal centroid arrays (constant-folded vectors)
+    plan = plan_of(df64)
+    assert "sequence(0, 63" not in plan  # no per-row LCG expansion
+    # distinct cell count grows with the knob
+    from nreadability_spark.spark.ops import _QVEC, _N_QUERIES
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    n16 = (emb.where(f"vec_id >= {_N_QUERIES}")
+           .selectExpr(f"{_QVEC} as cv")
+           .selectExpr(f"-array_max({_ivf_scores('cv', 'spark', 16)}).nj "
+                       "as cell").select("cell").distinct().count())
+    n64 = (emb.where(f"vec_id >= {_N_QUERIES}")
+           .selectExpr(f"{_QVEC} as cv")
+           .selectExpr(f"-array_max({_ivf_scores('cv', 'spark', 64)}).nj "
+                       "as cell").select("cell").distinct().count())
+    assert n64 > n16 >= 8
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """With spark.nreadability.checkpointDir set, iterative ops cut
+    lineage via reliable checkpoint() files instead of executor-local
+    blocks (the recoverable 100 TB path); results are unchanged."""
+    from nreadability_spark.spark.ops import dedup_minhash_lsh
+    base = dedup_minhash_lsh(spark, SF_DIR).collect()
+    cdir = str(tmp_path / "reliable_ckpt")
+    spark.conf.set("spark.nreadability.checkpointDir", cdir)
+    try:
+        rel = dedup_minhash_lsh(spark, SF_DIR).collect()
+    finally:
+        spark.conf.unset("spark.nreadability.checkpointDir")
+    assert sorted(map(tuple, rel)) == sorted(map(tuple, base))
+    ckpt_files = []
+    for dirpath, _dirs, files in os.walk(cdir):
+        ckpt_files.extend(files)
+    assert ckpt_files, "no reliable checkpoint files were written"
 
 
 def test_ngram_jaccard_prunes_shingles_before_pair_join(spark):
