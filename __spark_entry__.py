@@ -158,6 +158,13 @@ def _kernel_oracles() -> dict[str, str]:
     materialized to parquet by scripts/gen_oracles.py (regenerate after any
     kernel change). The driver's correctness pass runs at sf=0.01."""
     d = os.path.join(_REPO, "oracles", "sf0.01")
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"kernel oracle parquet dir missing: {d} — the kernel-query "
+            "oracles are pinned to the driver's sf0.01 correctness pass "
+            "(queries compute over whatever sf_dir is passed, but these "
+            "static SQL strings cannot); run scripts/gen_oracles.py to "
+            "materialize them")
     full = os.path.join(d, "extract_full.parquet")
     stitch = os.path.join(d, "stitch_multipage.parquet")
     feats = os.path.join(d, "media_features.parquet")

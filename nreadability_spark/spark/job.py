@@ -236,20 +236,42 @@ def run_extraction(spark: SparkSession, pages: DataFrame,
     return df.mapInPandas(fn, schema)
 
 
+def _assert_partitioned_layout(path: str, what: str) -> None:
+    """Fail loudly when a sink directory holds flat parquet files from a
+    pre-run_id-partitioned layout: mixing flat files with run_id=
+    directories breaks partition discovery on read. (Local-fs check; on
+    object stores the first partitioned read fails with Spark's own
+    mixed-layout error instead.)"""
+    if not os.path.isdir(path):
+        return
+    flat = [e for e in os.listdir(path)
+            if e.endswith(".parquet") and not e.startswith((".", "_"))]
+    if flat:
+        raise ValueError(
+            f"{what} sink at {path} contains flat parquet files "
+            f"({flat[:3]}...) from a pre-run_id-partitioned layout; "
+            "clear the directory or migrate the files under run_id= "
+            "subdirectories before rerunning")
+
+
 def run_job(spark: SparkSession, pages: DataFrame, out_dir: str,
             run_id: str, num_partitions: Optional[int] = None,
             resume: bool = True) -> dict:
     """Full job: extract -> parquet sink -> metrics rollup sink.
 
-    The metrics sink is hive-partitioned by run_id (dynamic overwrite);
-    out_dirs written by pre-partitioned versions of this job hold flat
-    metrics files and should be cleared before reuse.
+    Both sinks are hive-partitioned by run_id: the extracted sink so the
+    metrics rollup and summary scan ONLY the current run's files (instead
+    of every historic run's), the metrics sink so reruns dynamically
+    overwrite their own rollup. Flat-layout out_dirs from older versions
+    are rejected with a clear error.
 
     Returns summary counters. Idempotent per url: rerunning after a partial
     failure anti-joins the committed urls and appends only the remainder.
     """
     extracted_path = os.path.join(out_dir, "extracted")
     metrics_path = os.path.join(out_dir, "metrics")
+    _assert_partitioned_layout(extracted_path, "extracted")
+    _assert_partitioned_layout(metrics_path, "metrics")
 
     done = None
     if resume:
@@ -262,8 +284,9 @@ def run_job(spark: SparkSession, pages: DataFrame, out_dir: str,
     out = (out
            .withColumn("run_id", F.lit(run_id))
            .withColumn("partition_id", F.spark_partition_id()))
-    out.write.mode("append").parquet(extracted_path)
+    out.write.mode("append").partitionBy("run_id").parquet(extracted_path)
 
+    # partition pruning: only run_id=<this run> files are scanned here
     written = spark.read.parquet(extracted_path).where(
         F.col("run_id") == run_id)
     metrics = (written.groupBy("run_id", "partition_id").agg(

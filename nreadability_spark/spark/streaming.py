@@ -11,7 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .job import OUT_SCHEMA, _extract_batches, ensure_package_shipped
+from .job import (OUT_SCHEMA, _extract_batches, _extract_batches_arrow,
+                  ensure_package_shipped)
 
 PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
              "text string, lang string")
@@ -25,12 +26,16 @@ def read_pages_stream(spark: SparkSession, source_dir: str,
 
 
 def extract_stream(pages_stream: DataFrame) -> DataFrame:
-    """Streaming extraction: same kernel, same output schema; no shuffle
-    (stateless map), so micro-batch latency is the batch's own compute."""
+    """Streaming extraction: same kernel, same output schema, same serde
+    as the batch path (mapInArrow — mapInPandas only as fallback); no
+    shuffle (stateless map), so micro-batch latency is the batch's own
+    compute."""
     spark = pages_stream.sparkSession
     ensure_package_shipped(spark)
-    return (pages_stream.select("url", "html")
-            .mapInPandas(_extract_batches, OUT_SCHEMA))
+    df = pages_stream.select("url", "html")
+    if hasattr(df, "mapInArrow"):
+        return df.mapInArrow(_extract_batches_arrow, OUT_SCHEMA)
+    return df.mapInPandas(_extract_batches, OUT_SCHEMA)
 
 
 def run_extract_stream(spark: SparkSession, source_dir: str, out_dir: str,

@@ -83,6 +83,16 @@ def test_streaming_extraction(spark, tmp_path_factory):
     n = pages.count()
     pages.repartition(4).write.parquet(src)
 
+    # streaming rides the same Arrow serde as the batch path
+    from nreadability_spark.spark.streaming import (extract_stream,
+                                                    read_pages_stream)
+    sdf = extract_stream(read_pages_stream(spark, src))
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sdf.explain()
+    assert "MapInArrow" in buf.getvalue()
+
     q = run_extract_stream(spark, src, out, ckpt, available_now=True)
     q.awaitTermination(300)
 

@@ -108,6 +108,12 @@ def test_run_job_metrics_and_resume(spark, pages, tmp_path_factory):
     assert written.count() == total
     assert written.select("url").distinct().count() == total  # no dupes
 
+    # the extracted sink is hive-partitioned by run_id: the metrics
+    # rollup and summary scan only the current run's files
+    extracted_entries = os.listdir(os.path.join(out_dir, "extracted"))
+    assert any(e.startswith("run_id=") for e in extracted_entries)
+    assert not any(e.endswith(".parquet") for e in extracted_entries)
+
     metrics = spark.read.parquet(os.path.join(out_dir, "metrics"))
     mrows = metrics.collect()
     assert {m["run_id"] for m in mrows} == {"r1", "r2"}
@@ -127,6 +133,19 @@ def test_run_job_metrics_and_resume(spark, pages, tmp_path_factory):
     assert metrics2.count() == n_metrics
     assert metrics2.groupBy("run_id", "partition_id").count() \
         .where("count > 1").isEmpty()
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_run_job_rejects_flat_legacy_layout(spark, pages, tmp_path_factory):
+    """An out_dir holding flat (pre-run_id-partitioned) parquet files must
+    fail with a clear message instead of mixing layouts."""
+    out_dir = str(tmp_path_factory.mktemp("job_flat"))
+    legacy = os.path.join(out_dir, "metrics")
+    os.makedirs(legacy)
+    with open(os.path.join(legacy, "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1 not really parquet")
+    with pytest.raises(ValueError, match="pre-run_id-partitioned"):
+        run_job(spark, pages, out_dir, run_id="rX", num_partitions=2)
     shutil.rmtree(out_dir, ignore_errors=True)
 
 
