@@ -20,7 +20,7 @@ from __future__ import annotations
 import re
 from typing import Callable, Optional
 
-from . import parser, uri
+from . import dtd, parser, uri
 from .css import READABILITY_CSS
 from .dom import Comment, Document, Element, Node, Text
 
@@ -209,6 +209,33 @@ def _coalesce_text_like_reparse(element: Element) -> None:
         el.children = out
 
 
+def _reparse_would_restructure(element: Element) -> bool:
+    """True when re-parsing serialize(children) would NOT reproduce the
+    child subtrees verbatim, i.e. some descendant element holds a known
+    element child it cannot contain per the DTD while its own end tag is
+    optional — exactly the condition under which the tokenizer's
+    auto-close (P12, parser._auto_close) pops the parent open and
+    re-homes the child. The transcoder DOES create such nesting: the
+    div->p rename in StripUnlikelyCandidates checks children against
+    _DivToPElementsRegex, whose block list omits h1-h6/hr/form/etc., so a
+    div holding an <h2> becomes a <p> holding an <h2> — which the
+    reference's unconditional SetInnerHtml re-parse then splits (observed
+    on the theverge fixtures). Direct children are exempt: the fragment
+    re-parse never pops its simulated root, so they cannot move."""
+    stack = [c for c in element.children if isinstance(c, Element)]
+    while stack:
+        el = stack.pop()
+        known_parent = dtd.is_known(el.tag)
+        poppable = known_parent and dtd.end_tag_optional(el.tag)
+        for ch in el.children:
+            if isinstance(ch, Element):
+                if (poppable and dtd.is_known(ch.tag)
+                        and not dtd.can_contain(el.tag, ch.tag)):
+                    return True
+                stack.append(ch)
+    return False
+
+
 def _set_inner_html_if_changed(element: Element, old_html: str,
                                new_html: str) -> None:
     """The get-inner-html -> regex -> set-inner-html round-trips are the
@@ -223,11 +250,17 @@ def _set_inner_html_if_changed(element: Element, old_html: str,
       one, and whitespace-only text disappears (P19) — see
       _coalesce_text_like_reparse.
 
-    The tree otherwise re-parses to itself: it came from a parse and the
-    transcoder's mutations keep it DTD-valid (removals, guarded div->p
-    renames, inline-only wrapping), entity escaping round-trips, and
-    CDATA sections re-scan to the same nodes."""
+    The tree otherwise re-parses to itself — it came from a parse, entity
+    escaping round-trips, and CDATA sections re-scan to the same nodes —
+    UNLESS a transcoder mutation created DTD-invalid nesting the
+    re-parse's auto-close would restructure (div->p renames can, see
+    _reparse_would_restructure): in that case the real re-parse runs so
+    the output stays byte-identical to the reference's unconditional
+    re-parse. tests/test_inner_html_skip_corpus.py locks the equivalence
+    over the whole fixture corpus."""
     if new_html != old_html:
+        set_inner_html(element, new_html)
+    elif _reparse_would_restructure(element):
         set_inner_html(element, new_html)
     else:
         element.attrs = {}
