@@ -99,13 +99,19 @@ def run_bench(spark, sf_dir: str) -> dict:
         df.agg(F.count("*")).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # chained form: when the LSH candidates are already materialized
-    # (the real pipeline shape), ngram_jaccard skips recomputing them
-    from nreadability_spark.spark.ops import dedup_minhash_lsh, ngram_jaccard
+    # chained forms: when the LSH candidates are already materialized
+    # (the real pipeline shape), ngram_jaccard and dedup_clusters skip
+    # recomputing them
+    from nreadability_spark.spark.ops import (dedup_clusters,
+                                              dedup_minhash_lsh,
+                                              ngram_jaccard)
     cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
     t0 = time.perf_counter()
     ngram_jaccard(spark, sf_dir, cand=cand).agg(F.count("*")).collect()
     timings["ngram_jaccard_chained"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dedup_clusters(spark, sf_dir, pairs=cand).agg(F.count("*")).collect()
+    timings["dedup_clusters_chained"] = round(time.perf_counter() - t0, 3)
 
     return {
         "metric": "extraction_wall_sec",

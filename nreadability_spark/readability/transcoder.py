@@ -166,8 +166,23 @@ def get_doc_title(document: Document) -> Optional[str]:
 
 def set_inner_html(element: Element, html: str) -> None:
     """DomExtensions.SetInnerHtml: RemoveAll (nodes AND attributes) then
-    re-parse ``html`` through the SGML builder and move the nodes in."""
+    re-parse ``html`` through the SGML builder and move the nodes in.
+
+    Fast path: a fragment with no markup and no entities ('<'/'&' absent)
+    parses to exactly one text node — NUL->space + newline normalization
+    (P1), BOM strip (P20), whitespace-only drop (P19) — so the tokenizer
+    round-trip is skipped. This covers the hot no-tag callers (bare-text
+    wrapping in StripUnlikelyCandidates, the title <h1>, the glue CSS)."""
     element.remove_all()
+    if "<" not in html and "&" not in html:
+        value = html.lstrip("﻿")
+        if "\x00" in value:
+            value = value.replace("\x00", " ")
+        if "\r" in value:
+            value = value.replace("\r\n", "\n").replace("\r", "\n")
+        if value.strip():
+            element.add(Text(value))
+        return
     tmp = parser.build_document(html)
     if tmp.root is None:
         return
@@ -851,13 +866,27 @@ class Transcoder:
                 continue
             text = self.get_inner_text(element)
             if get_segments_count(text, ",") < MIN_COMMA_SEGMENTS:
-                ps = element.count_elements_by_tag_name("p")
-                imgs = element.count_elements_by_tag_name("img")
-                lis = element.count_elements_by_tag_name("li")
-                inputs = element.count_elements_by_tag_name("input")
-                embeds = sum(
-                    1 for e in element.get_elements_by_tag_name("embed")
-                    if not RX_VIDEO.search(e.get_attribute("src", "")))
+                # one subtree walk counts all five tags (was five walks)
+                ps = imgs = lis = inputs = embeds = 0
+                stack = element.children[::-1]
+                while stack:
+                    node = stack.pop()
+                    if type(node) is Element:
+                        t = node.tag
+                        if t == "p":
+                            ps += 1
+                        elif t == "img":
+                            imgs += 1
+                        elif t == "li":
+                            lis += 1
+                        elif t == "input":
+                            inputs += 1
+                        elif t == "embed":
+                            if not RX_VIDEO.search(
+                                    node.get_attribute("src", "")):
+                                embeds += 1
+                        if node.children:
+                            stack.extend(node.children[::-1])
                 density = self.get_links_density(element)
                 text_len = len(text)
                 tag = element_name.strip().lower()

@@ -610,27 +610,36 @@ NGRAM_JACCARD_SQL = f"""
 _CC_MAX_ROUNDS = 15
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(spark: SparkSession, sf_dir: str,
+                   pairs: DataFrame | None = None) -> DataFrame:
     """Near-dup clustering: connected components over the LSH candidate
     pairs via iterative min-label propagation (the Spark-native shape for
     graph fixpoints without GraphFrames). Every corpus doc gets a
     cluster_id = the minimum doc_id reachable through candidate-pair
     edges; cluster_id == doc_id marks the kept representative.
 
+    ``pairs`` (doc1, doc2) lets pipeline users pass in the candidate
+    table they already materialized — the self-contained form recomputes
+    dedup_minhash_lsh internally (the driver contract), which is most of
+    this query's bench time.
+
     Scale shape: the fixpoint runs ONLY over docs incident to an LSH edge
-    (a sliver of a web corpus — here 300 of ~60k at sf0.1); docs untouched
-    by any edge are unioned in as singleton clusters in one final narrow
+    (a sliver of a web corpus — 2.7k of ~61k at sf0.1); docs untouched by
+    any edge are unioned in as singleton clusters in one final narrow
     pass, so the per-round shuffles never see the full corpus. Pointer
     jumping halves remaining path lengths each round (O(log diameter)
-    rounds); convergence is checked every 2 rounds so half the driver
-    round-trips disappear; lineage is cut per round via ``_cut_lineage``
-    (reliable ``checkpoint()`` when a checkpoint dir is configured)."""
+    rounds; it is an identity in round 0, where it is skipped);
+    convergence is checked from round 1 on; lineage is cut per round via
+    ``_cut_lineage`` (reliable ``checkpoint()`` when a checkpoint dir is
+    configured)."""
     corpus = _corpus(spark, sf_dir)
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    # undirected neighbor list (both directions)
-    edges = _cut_lineage(
-        pairs.selectExpr("doc1 as src", "doc2 as dst")
-        .union(pairs.selectExpr("doc2 as src", "doc1 as dst")))
+    if pairs is None:
+        pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = _cut_lineage(pairs.select("doc1", "doc2"))
+    # undirected neighbor list (both directions) — narrow union over the
+    # checkpointed pairs, no second materialization needed
+    edges = (pairs.selectExpr("doc1 as src", "doc2 as dst")
+             .union(pairs.selectExpr("doc2 as src", "doc1 as dst")))
     # fixpoint domain = edge endpoints only
     labels = _cut_lineage(
         edges.select(F.col("src").alias("doc_id")).distinct()
@@ -644,17 +653,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = (labels.join(neigh, "doc_id", "left")
                       .selectExpr("doc_id",
                                   "least(lbl, coalesce(nlbl, lbl)) as lbl"))
-        # pointer jumping: also adopt the label's own label, halving the
-        # remaining path each round -> O(log diameter) rounds
-        new_labels = _cut_lineage(
-            new_labels
-            .join(labels.selectExpr("doc_id as lbl", "lbl as _p"),
-                  "lbl", "left")
-            .selectExpr("doc_id",
-                        "least(lbl, coalesce(_p, lbl)) as lbl"))
+        if _round > 0:
+            # pointer jumping: also adopt the label's own label, halving
+            # the remaining path each round -> O(log diameter) rounds.
+            # Round 0's lookup would be the identity (labels are still
+            # self-seeded), so it starts at round 1.
+            new_labels = (new_labels
+                          .join(labels.selectExpr("doc_id as lbl",
+                                                  "lbl as _p"),
+                                "lbl", "left")
+                          .selectExpr("doc_id",
+                                      "least(lbl, coalesce(_p, lbl)) "
+                                      "as lbl"))
+        new_labels = _cut_lineage(new_labels)
         prev = labels
         labels = new_labels
-        if _round % 2 == 1 or _round == _CC_MAX_ROUNDS - 1:
+        if _round >= 1:
             changed = (new_labels.join(prev.selectExpr("doc_id",
                                                        "lbl as old_lbl"),
                                        "doc_id")
