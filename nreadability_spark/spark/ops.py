@@ -100,6 +100,41 @@ PAGES_BY_HOST_SQL = """
 """
 
 
+_HOST_CAP = 5
+
+
+def host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (crawl-diversity sampling): keep the first
+    ``_HOST_CAP`` docs per host by (n_chars desc, doc_id) — the standard
+    guard against a single boilerplate-heavy host dominating a training
+    mix. One shuffle on the host key; at corpus scale the window runs
+    map-side-partial-free but AQE splits skewed hosts, and the cap bounds
+    every host's contribution regardless of its crawl footprint."""
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy((F.col("doc_id") % 97).cast("long")) \
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (docs.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _HOST_CAP)
+            .select((F.col("doc_id") % 97).cast("long").alias("host"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("rk").cast("long").alias("rk")))
+
+
+HOST_CAP_SQL = f"""
+    select cast(doc_id % 97 as bigint) as host,
+           cast(doc_id as bigint) as doc_id,
+           cast(n_chars as bigint) as n_chars,
+           cast(rk as bigint) as rk
+    from (
+      select doc_id, n_chars,
+             row_number() over (partition by doc_id % 97
+                                order by n_chars desc, doc_id asc) as rk
+      from documents)
+    where rk <= {_HOST_CAP}
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     return (corpus.groupBy(F.md5("text").alias("text_hash"))
@@ -699,6 +734,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     return touched.unionByName(singletons)
 
 
+def dedup_keep_representatives(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The end-to-end dedup materialization: one kept doc per near-dup
+    cluster (the minimum doc_id), i.e. the filtered corpus a training
+    pipeline actually feeds downstream. Plan shape: the cluster table's
+    is_representative flag IS the filter — no extra join against the
+    corpus is needed because dedup_clusters already carries every doc."""
+    clusters = dedup_clusters(spark, sf_dir)
+    return (clusters.where(F.col("is_representative"))
+            .selectExpr("doc_id", "cluster_id",
+                        "cluster_size as n_duplicates_absorbed"))
+
+
 DEDUP_CLUSTERS_SQL = f"""
     with recursive cand as ({DEDUP_MINHASH_LSH_SQL}),
     nodes as (select cast(doc_id as bigint) as doc_id from ({CORPUS_SQL})),
@@ -721,6 +769,13 @@ DEDUP_CLUSTERS_SQL = f"""
            cast(s.csz as bigint) as cluster_size,
            l.doc_id = l.cluster_id as is_representative
     from labels l join sizes s using (cluster_id)
+"""
+
+DEDUP_KEEP_REPRESENTATIVES_SQL = f"""
+    with clusters as ({DEDUP_CLUSTERS_SQL})
+    select doc_id, cluster_id,
+           cluster_size as n_duplicates_absorbed
+    from clusters where is_representative
 """
 
 
@@ -1172,6 +1227,9 @@ SQL_OPS = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_keep_representatives": (dedup_keep_representatives,
+                                   DEDUP_KEEP_REPRESENTATIVES_SQL),
+    "host_cap": (host_cap, HOST_CAP_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "ann_ivf_topk64": (ann_ivf_topk64, ANN_IVF_TOPK64_SQL),

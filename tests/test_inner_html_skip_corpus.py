@@ -74,6 +74,43 @@ def test_skip_path_equals_forced_reparse_on_fixture_corpus(monkeypatch):
     assert forced_calls["n"] > 0  # the patch actually took
 
 
+_frag = None
+try:
+    from hypothesis import given, settings, strategies as st
+    # fragments biased toward the restructure-prone shapes: block tags
+    # missing from _DivToPElementsRegex inside divs that the transcoder
+    # may rename to <p>
+    _frag = st.sampled_from([
+        "<div class='x'>", "</div>", "<h2>head</h2>", "<hr>",
+        "<form><input></form>", "<p>para with words, commas. " * 3,
+        "<div>", "plain text run. ", "<span>inline</span>",
+        "<h1>t</h1>", "<center>c</center>", "<br><br>",
+        "<font size=2>f</font>", "<ul><li>item</li></ul>",
+        "<blockquote>q</blockquote>", "<address>a</address>",
+    ])
+    _soup = st.lists(_frag, min_size=3, max_size=25).map("".join)
+
+    @given(_soup)
+    @settings(max_examples=60, deadline=None)
+    def test_skip_path_equals_forced_reparse_fuzz(html):
+        doc = "<html><body>" + html + "</body></html>"
+        orig = T._set_inner_html_if_changed
+        try:
+            base = _result_tuple(doc, None)
+        except ValueError:
+            return
+        def forced(element, old_html, new_html):
+            T.set_inner_html(element, new_html)
+        T._set_inner_html_if_changed = forced
+        try:
+            got = _result_tuple(doc, None)
+        finally:
+            T._set_inner_html_if_changed = orig
+        assert got == base
+except ImportError:  # hypothesis not installed: corpus tests still run
+    pass
+
+
 def test_skip_path_equals_forced_reparse_on_synthetic_pages(monkeypatch):
     """Template pages (incl. the truncated-script retry shape) through
     both paths."""
