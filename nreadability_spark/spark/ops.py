@@ -975,6 +975,57 @@ def _ann_ivf_sql(n_cells: int, n_probe: int) -> str:
 ANN_IVF_TOPK_SQL = _ann_ivf_sql(_N_CELLS, _N_PROBE)
 
 
+def ann_ivf_build(spark: SparkSession, sf_dir: str, index_path: str,
+                  n_cells: int = _N_CELLS) -> None:
+    """The IVF build pass: write the candidate vectors as a parquet index
+    hive-partitioned by cell. At production scale this runs once per
+    corpus snapshot; searches then read only the probed cells' partitions
+    (dynamic partition pruning) instead of scanning and shuffling the
+    whole corpus per query batch."""
+    emb = _read(spark, sf_dir, "embeddings")
+    c = emb.where(F.col("vec_id") >= _N_QUERIES).selectExpr(
+        "vec_id as cand_id", f"{_QVEC} as cv"
+    ).selectExpr(
+        "cand_id", "cv",
+        f"-array_max({_ivf_scores('cv', 'spark', n_cells)}).nj as cell")
+    c.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+
+
+def ann_ivf_search(spark: SparkSession, sf_dir: str, index_path: str,
+                   n_cells: int = _N_CELLS,
+                   n_probe: int = _N_PROBE) -> DataFrame:
+    """Search against a cell-partitioned IVF index written by
+    ``ann_ivf_build``: the probe table (tiny) joins the index on its
+    partition column, so Spark's dynamic partition pruning restricts the
+    index scan to the probed cells' files — the IO-side realization of
+    'each query touches ~nprobe/ncells of the corpus'. Results are
+    identical to ``ann_ivf_topk`` at the same (n_cells, n_probe)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    c = spark.read.parquet(index_path)
+    q = emb.where(F.col("vec_id") < _N_QUERIES).selectExpr(
+        "vec_id as query_id", f"{_QVEC} as qv"
+    ).selectExpr(
+        "query_id", "qv",
+        f"transform(slice(reverse(array_sort("
+        f"{_ivf_scores('qv', 'spark', n_cells)})), 1, {n_probe}), "
+        "x -> -x.nj) as probed")
+    probes = q.selectExpr("query_id", "qv", "explode(probed) as cell")
+    # broadcast the tiny probe side: the index side stays a partitioned
+    # scan, and DPP turns the join key into a partition filter on it
+    pairs = c.join(F.broadcast(probes), "cell").selectExpr(
+        "query_id", "cand_id",
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, "
+        "(acc, v) -> acc + v) as dot")
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(),
+                                               F.col("cand_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select(F.col("query_id").cast("long"),
+                    F.col("cand_id").cast("long"),
+                    F.col("dot").cast("long"),
+                    F.col("rank").cast("long")))
+
+
 def ann_ivf_topk64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ncells ~ sqrt(N) configuration (64 cells, 8 probes): same IVF
     plan, but the cell join key now has 64 distinct values — evidence

@@ -135,6 +135,23 @@ def test_ivf_cells_scale_with_knob(spark):
     assert n64 > n16 >= 8
 
 
+def test_ivf_index_search_uses_dynamic_partition_pruning(spark, tmp_path):
+    """ann_ivf_build writes a cell-partitioned index; ann_ivf_search's
+    probe join must reach the scan as a dynamic partition filter (the
+    IO-side realization of 'each query touches nprobe/ncells of the
+    corpus'), and results must equal the self-contained ann_ivf_topk."""
+    from nreadability_spark.spark.ops import (ann_ivf_build,
+                                              ann_ivf_search, ann_ivf_topk)
+    idx = str(tmp_path / "ivf_index")
+    ann_ivf_build(spark, SF_DIR, idx)
+    df = ann_ivf_search(spark, SF_DIR, idx)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower()
+    got = sorted(map(tuple, df.collect()))
+    base = sorted(map(tuple, ann_ivf_topk(spark, SF_DIR).collect()))
+    assert got == base
+
+
 def test_reliable_checkpoint_path(spark, tmp_path):
     """With spark.nreadability.checkpointDir set, iterative ops cut
     lineage via reliable checkpoint() files instead of executor-local
