@@ -547,28 +547,48 @@ class Transcoder:
         document_body = get_or_create_body(document)
         root = document.root
 
-        to_remove: list[Element] = []
-        for script in root.get_elements_by_tag_name("script"):
-            src = script.get_attribute("src")
-            if not src or "readability" not in src:
-                to_remove.append(script)
-        _remove_elements(to_remove)
-
-        _remove_elements(root.get_elements_by_tag_name("noscript"))
-
-        to_remove = [
-            el for el in root.get_elements_by_tag_name("link")
-            if el.get_attribute("rel", "").strip().lower() == "stylesheet"
-            and "readability" not in el.get_attribute("href", "")
-        ]
-        _remove_elements(to_remove)
-
-        _remove_elements(root.get_elements_by_tag_name("style"))
-        _remove_elements(root.get_elements_by_tag_name("nav"))
-
-        to_remove = [a for a in root.get_elements_by_tag_name("a")
-                     if "name" in a.attrs and "href" not in a.attrs]
-        _remove_elements(to_remove)
+        # one DFS collects all six removal sets (was six whole-tree
+        # scans). The predicates are independent and removal of a node
+        # whose ancestor was already detached is a no-op, so the final
+        # tree is identical to the reference's sequential scans.
+        scripts: list[Element] = []
+        noscripts: list[Element] = []
+        links: list[Element] = []
+        styles: list[Element] = []
+        navs: list[Element] = []
+        anchors: list[Element] = []
+        stack = root.children[::-1]
+        while stack:
+            node = stack.pop()
+            if type(node) is Element:
+                t = node.tag
+                if t == "script":
+                    src = node.get_attribute("src")
+                    if not src or "readability" not in src:
+                        scripts.append(node)
+                elif t == "noscript":
+                    noscripts.append(node)
+                elif t == "link":
+                    if (node.get_attribute("rel", "").strip().lower()
+                            == "stylesheet"
+                            and "readability"
+                            not in node.get_attribute("href", "")):
+                        links.append(node)
+                elif t == "style":
+                    styles.append(node)
+                elif t == "nav":
+                    navs.append(node)
+                elif t == "a":
+                    if "name" in node.attrs and "href" not in node.attrs:
+                        anchors.append(node)
+                if node.children:
+                    stack.extend(node.children[::-1])
+        _remove_elements(scripts)
+        _remove_elements(noscripts)
+        _remove_elements(links)
+        _remove_elements(styles)
+        _remove_elements(navs)
+        _remove_elements(anchors)
 
         body_inner = document_body.get_inner_html()
         new_inner = RX_DOUBLE_BR.sub("</p><p>", body_inner)
