@@ -86,6 +86,49 @@ def host_totals_stream(pages_stream: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+DEDUP_STATE_SCHEMA = "n_seen long, first_url string"
+DEDUP_OUT_SCHEMA = ("content_md5 string, url string, first_seen boolean, "
+                    "n_seen long")
+
+
+def _dedup_update(key, pdfs, state):
+    """applyInPandasWithState update fn: keyed by content hash; the state
+    carries (count, first-seen url) so duplicates are dropped ACROSS
+    micro-batches — a page crawled again hours later is still a dup. One
+    row per touched key per batch: the kept url plus the running copy
+    count (first_seen marks the batch that introduced the key)."""
+    import pandas as pd
+    seen, first_url = state.get if state.exists else (0, None)
+    batch_n = 0
+    for pdf in pdfs:
+        for url in pdf["url"]:
+            if seen + batch_n == 0:
+                first_url = url
+            batch_n += 1
+    state.update((seen + batch_n, first_url))
+    if batch_n > 0:
+        yield pd.DataFrame({"content_md5": [key[0]], "url": [first_url],
+                            "first_seen": [seen == 0],
+                            "n_seen": [seen + batch_n]})
+
+
+def dedup_stream(pages_stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup at ingest: group by html md5, keep state per
+    content hash so duplicates are dropped ACROSS micro-batches, emit the
+    first-seen url per hash (update mode re-emits a key's row when its
+    duplicate count grows). The dataset-scale twin of dedup_exact."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    hashed = pages_stream.select(
+        F.md5(F.col("html")).alias("content_md5"), F.col("url"))
+    return (hashed.groupBy("content_md5")
+            .applyInPandasWithState(
+                _dedup_update,
+                outputStructType=DEDUP_OUT_SCHEMA,
+                stateStructType=DEDUP_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def windowed_metrics_stream(spark: SparkSession, source_dir: str,
                             window: str = "1 hour",
                             watermark: str = "2 hours") -> DataFrame:

@@ -150,6 +150,57 @@ def test_stateful_host_totals_stream(spark, tmp_path_factory):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_streaming_dedup_across_microbatches(spark, tmp_path_factory):
+    """dedup_stream must drop duplicates ACROSS micro-batches and across
+    separate availableNow runs sharing a checkpoint: each content hash
+    keeps one first-seen url, with n_seen counting every copy."""
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.pages import synthesize_pages
+    from nreadability_spark.spark.streaming import (dedup_stream,
+                                                    read_pages_stream)
+
+    base = str(tmp_path_factory.mktemp("dstream"))
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    pages = synthesize_pages(spark, SF_DIR, include_fixtures=False) \
+        .limit(60).cache()
+    pages.repartition(2).write.parquet(src)
+
+    def sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    def run():
+        stream = dedup_stream(read_pages_stream(spark, src,
+                                                max_files_per_trigger=1))
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run()
+    # second ingest wave: the SAME pages under new urls (pure duplicates)
+    pages.select(F.concat(F.lit("https://mirror.example.net/"),
+                          F.md5("url")).alias("url"),
+                 "warc_ts", "html", "text", "lang") \
+        .repartition(2).write.mode("append").parquet(src)
+    run()
+
+    got = spark.read.parquet(out)
+    n_hashes = pages.select(F.md5("html")).distinct().count()
+    # one state row per distinct content hash; last emission counts 2x
+    last = got.groupBy("content_md5").agg(
+        F.max("n_seen").alias("n_seen"),
+        F.first("url").alias("url"))
+    assert last.count() == n_hashes
+    # every content hash was seen at least twice after the mirror wave
+    assert last.where("n_seen < 2").count() == 0
+    # the kept url per hash is from the FIRST wave, never the mirror
+    kept = spark.read.parquet(out).where("first_seen")
+    assert kept.where(F.col("url").startswith(
+        "https://mirror.example.net/")).count() == 0
+    pages.unpersist()
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_windowed_metrics_stream(spark, tmp_path_factory):
     from nreadability_spark.spark.pages import synthesize_pages
     from nreadability_spark.spark.streaming import windowed_metrics_stream
