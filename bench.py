@@ -92,7 +92,8 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "sessionize", "events_hourly", "orders_by_nation",
                  "top_spenders", "token_counts", "token_counts_bpe",
                  "doc_fingerprint",
-                 "quality_score", "lang_id", "pages_by_host", "host_cap"):
+                 "quality_score", "lang_id", "pages_by_host", "host_cap",
+                 "training_mix"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

@@ -1262,6 +1262,52 @@ TOP_SPENDERS_SQL = """
 """
 
 
+# --- flagship composition: end-to-end training-corpus construction --------------
+
+_MIX_MIN_TOKENS = 30
+_MIX_KCHAR_LO, _MIX_KCHAR_HI = 150, 210
+
+
+def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-construction query a training pipeline runs:
+    keep a doc iff it (a) is its near-dup cluster's representative,
+    (b) detects as English, (c) passes quality thresholds (token count +
+    tokens-per-kchar band), and (d) survives the per-host cap. Composes
+    dedup_keep_representatives ∩ lang_id ∩ quality_score ∩ host_cap —
+    every stage is itself oracle-checked, and the composition is too.
+    Plan shape: three left-semi joins onto the host-capped table; the
+    dedup leg is the only heavy subplan (LSH + connected components),
+    everything else is a narrow scan+filter."""
+    reps = dedup_keep_representatives(spark, sf_dir) \
+        .where(F.col("doc_id") < 1000000).select("doc_id")
+    lang = lang_id(spark, sf_dir) \
+        .where(F.col("detected_lang") == "en").select("doc_id")
+    q = quality_score(spark, sf_dir).where(
+        (F.col("n_tokens") >= _MIX_MIN_TOKENS)
+        & F.col("tokens_per_kchar").between(_MIX_KCHAR_LO, _MIX_KCHAR_HI))
+    h = host_cap(spark, sf_dir)
+    return (h.join(reps, "doc_id", "left_semi")
+            .join(lang, "doc_id", "left_semi")
+            .join(q.select("doc_id", "n_tokens"), "doc_id")
+            .select("doc_id", "host", "n_tokens",
+                    F.col("rk").alias("host_rank")))
+
+
+TRAINING_MIX_SQL = f"""
+    with reps as ({DEDUP_KEEP_REPRESENTATIVES_SQL}),
+    lang as ({LANG_ID_SQL}),
+    q as ({QUALITY_SCORE_SQL}),
+    h as ({HOST_CAP_SQL})
+    select h.doc_id, h.host, q.n_tokens, h.rk as host_rank
+    from h
+    join q using (doc_id)
+    where h.doc_id in (select doc_id from reps where doc_id < 1000000)
+      and h.doc_id in (select doc_id from lang where detected_lang = 'en')
+      and q.n_tokens >= {_MIX_MIN_TOKENS}
+      and q.tokens_per_kchar between {_MIX_KCHAR_LO} and {_MIX_KCHAR_HI}
+"""
+
+
 # --- registry -------------------------------------------------------------------
 
 SQL_OPS = {
@@ -1281,6 +1327,7 @@ SQL_OPS = {
     "dedup_keep_representatives": (dedup_keep_representatives,
                                    DEDUP_KEEP_REPRESENTATIVES_SQL),
     "host_cap": (host_cap, HOST_CAP_SQL),
+    "training_mix": (training_mix, TRAINING_MIX_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "ann_ivf_topk64": (ann_ivf_topk64, ANN_IVF_TOPK64_SQL),
