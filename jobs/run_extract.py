@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="reliable-checkpoint dir for iterative ops "
+                         "(sets spark.nreadability.checkpointDir)")
     ap.add_argument("--synthesize", action="store_true",
                     help="treat --input as a testdata sf dir and synthesize "
                          "the pages table from its documents")
@@ -42,7 +45,11 @@ def main() -> None:
     from nreadability_spark.spark.job import run_job
     from nreadability_spark.spark.sources import read_pages
 
-    spark = get_spark("nreadability-extract", master=args.master)
+    extra = {}
+    if args.checkpoint_dir:
+        extra["spark.nreadability.checkpointDir"] = args.checkpoint_dir
+    spark = get_spark("nreadability-extract", master=args.master,
+                      extra_conf=extra or None)
     try:
         if args.synthesize:
             from nreadability_spark.spark.pages import synthesize_pages

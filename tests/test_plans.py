@@ -179,6 +179,24 @@ def test_ngram_jaccard_prunes_shingles_before_pair_join(spark):
     assert "LeftSemi" in plan
 
 
+def test_host_cap_is_single_shuffle_window(spark):
+    """host_cap must be one exchange (the window's host partition) plus
+    the scan — no stray shuffles, and the rk filter applied before
+    output."""
+    from nreadability_spark.spark.ops import host_cap
+    plan = plan_of(host_cap(spark, SF_DIR))
+    assert node_count(plan, "Exchange") == 1
+    assert "Window" in plan
+
+
+def test_training_mix_uses_semi_joins(spark):
+    """The composition query must reach its dedup/lang legs through
+    left-semi joins (set membership, not row multiplication)."""
+    from nreadability_spark.spark.ops import training_mix
+    plan = plan_of(training_mix(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
 def test_filter_pushdown_reaches_scan(spark):
     df = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")) \
         .where("o_custkey = 42").select("o_orderkey")
