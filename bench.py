@@ -89,7 +89,8 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "dedup_clusters",
                  "ann_topk", "ann_ivf_topk", "ann_ivf_topk64",
                  "ann_lsh_buckets", "dedup_embedding",
-                 "sessionize", "events_hourly", "orders_by_nation",
+                 "sessionize", "sessionize_spans", "vocab_top_terms",
+                 "events_hourly", "orders_by_nation",
                  "top_spenders", "token_counts", "token_counts_bpe",
                  "doc_fingerprint",
                  "quality_score", "lang_id", "pages_by_host", "host_cap",

@@ -1187,6 +1187,104 @@ SESSIONIZE_SQL = """
 """
 
 
+def sessionize_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session records (not just counts): a running sum over the
+    30-minute-gap start markers assigns each event its session ordinal,
+    then one groupBy emits span start/end/size. Two window passes + one
+    agg, all keyed on user_id — a single shuffle lineage at any scale."""
+    ev = _read(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", "event_id",
+        F.unix_micros(ts).alias("ts_us"),
+        (F.unix_micros(ts) - F.lag(F.unix_micros(ts), 1).over(w))
+        .alias("gap_us"))
+    marked = gaps.select(
+        "user_id", "event_id", "ts_us",
+        F.when(F.col("gap_us").isNull() | (F.col("gap_us") > 1800000000),
+               1).otherwise(0).alias("is_start"))
+    wrun = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sessions = marked.select(
+        "user_id", "ts_us",
+        F.sum("is_start").over(wrun).alias("session_no"))
+    return (sessions.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_no").cast("long").alias("session_no"))
+        .agg(F.min("ts_us").alias("start_us"),
+             F.max("ts_us").alias("end_us"),
+             F.count("*").alias("n_events"))
+        .select("user_id", "session_no",
+                F.col("start_us").cast("long"),
+                F.col("end_us").cast("long"),
+                ((F.col("end_us") - F.col("start_us")) / 1000000)
+                .cast("long").alias("duration_sec"),
+                F.col("n_events").cast("long")))
+
+
+SESSIONIZE_SPANS_SQL = """
+    select cast(user_id as bigint) as user_id,
+           cast(session_no as bigint) as session_no,
+           cast(min(ts_us) as bigint) as start_us,
+           cast(max(ts_us) as bigint) as end_us,
+           cast((max(ts_us) - min(ts_us)) // 1000000 as bigint)
+             as duration_sec,
+           cast(count(*) as bigint) as n_events
+    from (
+      select user_id, ts_us,
+             sum(is_start) over (partition by user_id
+                                 order by ts_us, event_id
+                                 rows unbounded preceding) as session_no
+      from (
+        select user_id, event_id, epoch_us(ts) as ts_us,
+               case when gap_us is null or gap_us > 1800000000
+                    then 1 else 0 end as is_start
+        from (
+          select user_id, event_id, ts,
+                 epoch_us(ts) - lag(epoch_us(ts)) over
+                   (partition by user_id order by ts, event_id) as gap_us
+          from events)))
+    group by 1, 2
+"""
+
+
+_VOCAB_TOP_K = 100
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: document frequency per token, top-100 by
+    (df desc, token). The canonical corpus-wide heavy shuffle — explode
+    tokens, distinct within doc, map-side partial count, one exchange on
+    the token key; AQE splits skewed stopword partitions. The global
+    top-k is a second single-partition pass over the (small) aggregated
+    table, not over the token stream."""
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.selectExpr("doc_id",
+                          f"explode(array_distinct({_TOKENS})) as token")
+    df_counts = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("doc_freq"))
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+    return (df_counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _VOCAB_TOP_K)
+            .select("token", "doc_freq", F.col("rank").cast("long")))
+
+
+VOCAB_TOP_TERMS_SQL = f"""
+    select token, doc_freq, cast(rank as bigint) as rank
+    from (
+      select token, doc_freq,
+             row_number() over (order by doc_freq desc, token asc) as rank
+      from (
+        select token, cast(count(*) as bigint) as doc_freq
+        from (
+          select distinct doc_id, unnest({_TOKENS_DUCK}) as token
+          from documents)
+        group by 1))
+    where rank <= {_VOCAB_TOP_K}
+"""
+
+
 # --- relational ops over the star schema ----------------------------------------
 
 def orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1335,6 +1433,8 @@ SQL_OPS = {
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
+    "sessionize_spans": (sessionize_spans, SESSIONIZE_SPANS_SQL),
+    "vocab_top_terms": (vocab_top_terms, VOCAB_TOP_TERMS_SQL),
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
     "top_spenders": (top_spenders, TOP_SPENDERS_SQL),
 }

@@ -197,6 +197,14 @@ def test_training_mix_uses_semi_joins(spark):
     assert "LeftSemi" in plan
 
 
+def test_vocab_build_has_mapside_partial_agg(spark):
+    """The document-frequency count must partial-aggregate before its
+    exchange (map-side combine on the exploded token stream)."""
+    from nreadability_spark.spark.ops import vocab_top_terms
+    plan = plan_of(vocab_top_terms(spark, SF_DIR))
+    assert "partial_count" in plan
+
+
 def test_filter_pushdown_reaches_scan(spark):
     df = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")) \
         .where("o_custkey = 42").select("o_orderkey")
