@@ -79,6 +79,27 @@ def _extract_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "html_bytes")
 
 
+def _extract_with_transformers(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Extraction with the reference's UDF extension hooks active
+    (ImageSourceTransformer / AnchorHrefTransformer,
+    ReadabilityTranscoder.cs:1716-1729): img srcs rewritten through a
+    CDN indirection with origsrc recorded, anchor hrefs kept with
+    orighref recorded — run dataset-level through the same mapInArrow
+    contract (output='hooked')."""
+    from nreadability_spark.spark.job import run_extraction
+    from nreadability_spark.spark.pages import synthesize_pages
+    pages = synthesize_pages(spark, sf_dir, include_fixtures=False)
+    out = run_extraction(spark, pages, output="hooked")
+    return out.select(
+        "url", "extracted",
+        F.coalesce(F.col("title"), F.lit("")).alias("title"),
+        F.md5(F.coalesce(F.col("content"), F.lit(""))).alias("content_md5"),
+        F.length(F.coalesce(F.col("content"), F.lit("")))
+        .cast("long").alias("content_len"),
+        (F.col("error").isNotNull()).alias("failed"))
+
+
 def _extract_next_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-page-link detection results (D1/D2 operators) per url."""
     from nreadability_spark.spark.job import run_extraction
@@ -143,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fingerprints": _extract_fingerprints,
         "extract_metrics": _extract_metrics,
         "extract_next_pages": _extract_next_pages,
+        "extract_with_transformers": _extract_with_transformers,
         "stitch_multipage": _stitch_multipage,
         "media_features": _media_features,
         "media_frames": _media_frames,
@@ -166,6 +188,7 @@ def _kernel_oracles() -> dict[str, str]:
             "static SQL strings cannot); run scripts/gen_oracles.py to "
             "materialize them")
     full = os.path.join(d, "extract_full.parquet")
+    hooked = os.path.join(d, "extract_hooked.parquet")
     stitch = os.path.join(d, "stitch_multipage.parquet")
     feats = os.path.join(d, "media_features.parquet")
     frames = os.path.join(d, "media_frames.parquet")
@@ -190,6 +213,9 @@ def _kernel_oracles() -> dict[str, str]:
         "extract_next_pages": f"""
             select url, next_page_url from read_parquet('{full}')
             where next_page_url != ''""",
+        "extract_with_transformers": f"""
+            select url, extracted, title, content_md5, content_len, failed
+            from read_parquet('{hooked}')""",
         "stitch_multipage": f"""
             select root_url, extracted, title, n_pages, content_md5
             from read_parquet('{stitch}')""",

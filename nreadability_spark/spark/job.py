@@ -88,7 +88,22 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
-def transcode_row(url: Optional[str], html: Optional[bytes]) -> dict:
+def demo_image_transformer(value: str, element) -> tuple:
+    """Sample ImageSourceTransformer (reference hook contract,
+    ReadabilityTranscoder.cs:1716-1729): rewrite the resolved src to a
+    CDN indirection and record the original under ``origsrc``."""
+    return "https://cdn.example.org/t?u=" + value, "origsrc"
+
+
+def demo_anchor_transformer(value: str, element) -> tuple:
+    """Sample AnchorHrefTransformer: keep the resolved href (so
+    next-page detection is unaffected) but record it under
+    ``orighref``."""
+    return value, "orighref"
+
+
+def transcode_row(url: Optional[str], html: Optional[bytes],
+                  image_transformer=None, anchor_transformer=None) -> dict:
     """Extract one document; never raises (failures become rows)."""
     from nreadability_spark.readability import transcode
     from nreadability_spark.readability.encoding import decode_html_bytes
@@ -96,7 +111,14 @@ def transcode_row(url: Optional[str], html: Optional[bytes]) -> dict:
     nbytes = len(html) if html is not None else 0
     try:
         text = decode_html_bytes(bytes(html)) if html is not None else ""
-        result = transcode(text, url or None)
+        if image_transformer is None and anchor_transformer is None:
+            result = transcode(text, url or None)
+        else:
+            from nreadability_spark.readability.transcoder import Transcoder
+            t = Transcoder()
+            t.image_source_transformer = image_transformer
+            t.anchor_href_transformer = anchor_transformer
+            result = t.transcode(text, url or None)
         return {
             "url": url,
             "extracted": bool(result.content_extracted),
@@ -122,10 +144,11 @@ def transcode_row(url: Optional[str], html: Optional[bytes]) -> dict:
         }
 
 
-def _make_pandas_extractor(out_schema, row_fn):
-    """mapInPandas fallback with the same (schema, row_fn) contract as
-    the Arrow extractor."""
+def _make_pandas_extractor(out_schema, row_fn, producer=None):
+    """mapInPandas fallback with the same (schema, row_fn, producer)
+    contract as the Arrow extractor."""
     cols = [f.name for f in out_schema.fields]
+    producer = producer or transcode_row
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sys.setrecursionlimit(40000)  # deep tag-soup nesting
@@ -133,7 +156,7 @@ def _make_pandas_extractor(out_schema, row_fn):
             # columnar assembly (list-of-dicts -> pandas is slower)
             data: dict[str, list] = {c: [] for c in cols}
             for u, h in zip(pdf["url"], pdf["html"]):
-                row = row_fn(transcode_row(u, h))
+                row = row_fn(producer(u, h))
                 for c in cols:
                     data[c].append(row[c])
             yield pd.DataFrame(data, columns=cols)
@@ -166,10 +189,11 @@ def _fingerprint_of(row: dict) -> dict:
     return out
 
 
-def _make_arrow_extractor(out_schema, row_fn):
+def _make_arrow_extractor(out_schema, row_fn, producer=None):
     """Build a mapInArrow generator: RecordBatch(url, html) in ->
     RecordBatch(out_schema) out, one kernel call per row."""
     cols = [f.name for f in out_schema.fields]
+    producer = producer or transcode_row
 
     def gen(batches):
         import pyarrow as pa
@@ -184,7 +208,7 @@ def _make_arrow_extractor(out_schema, row_fn):
             htmls = rb.column(1).to_pylist()
             data: dict[str, list] = {c: [] for c in cols}
             for u, h in zip(urls, htmls):
-                row = row_fn(transcode_row(u, h))
+                row = row_fn(producer(u, h))
                 for c in cols:
                     data[c].append(row[c])
             yield pa.RecordBatch.from_arrays(
@@ -194,12 +218,22 @@ def _make_arrow_extractor(out_schema, row_fn):
     return gen
 
 
+def _hooked_row(url, html):
+    return transcode_row(url, html,
+                         image_transformer=demo_image_transformer,
+                         anchor_transformer=demo_anchor_transformer)
+
+
 _extract_batches_arrow = _make_arrow_extractor(OUT_SCHEMA, lambda r: r)
 _extract_batches_arrow_fp = _make_arrow_extractor(FINGERPRINT_SCHEMA,
                                                   _fingerprint_of)
+_extract_batches_arrow_hooked = _make_arrow_extractor(
+    OUT_SCHEMA, lambda r: r, producer=_hooked_row)
 _extract_batches = _make_pandas_extractor(OUT_SCHEMA, lambda r: r)
 _extract_batches_fp = _make_pandas_extractor(FINGERPRINT_SCHEMA,
                                              _fingerprint_of)
+_extract_batches_hooked = _make_pandas_extractor(
+    OUT_SCHEMA, lambda r: r, producer=_hooked_row)
 
 
 def run_extraction(spark: SparkSession, pages: DataFrame,
@@ -212,7 +246,9 @@ def run_extraction(spark: SparkSession, pages: DataFrame,
     input is already uniformly mixed (e.g. a corpus previously written
     through the salted path); saves a full shuffle of the html bytes.
     ``output='fingerprint'`` ships content_md5/content_len instead of the
-    content/content_text blobs.
+    content/content_text blobs. ``output='hooked'`` runs the full schema
+    with the demo ImageSourceTransformer/AnchorHrefTransformer hooks
+    (the reference's extension points, exercised dataset-level).
     """
     ensure_package_shipped(spark)
     df = pages.select("url", "html")  # column pruning before any exchange
@@ -228,11 +264,12 @@ def run_extraction(spark: SparkSession, pages: DataFrame,
         df = df.repartition(num_partitions, F.xxhash64("url"))
     schema = FINGERPRINT_SCHEMA if output == "fingerprint" else OUT_SCHEMA
     if hasattr(df, "mapInArrow"):
-        fn = _extract_batches_arrow_fp if output == "fingerprint" \
-            else _extract_batches_arrow
+        fn = {"fingerprint": _extract_batches_arrow_fp,
+              "hooked": _extract_batches_arrow_hooked} \
+            .get(output, _extract_batches_arrow)
         return df.mapInArrow(fn, schema)
-    fn = _extract_batches_fp if output == "fingerprint" \
-        else _extract_batches
+    fn = {"fingerprint": _extract_batches_fp,
+          "hooked": _extract_batches_hooked}.get(output, _extract_batches)
     return df.mapInPandas(fn, schema)
 
 

@@ -31,7 +31,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from nreadability_spark.spark.job import transcode_row  # noqa: E402
+from nreadability_spark.spark.job import (_hooked_row,
+                                           transcode_row)  # noqa: E402
 from nreadability_spark.spark.multimodal import (_KINDS, _decode_payload,
                                                  _fake_payload)  # noqa: E402
 from nreadability_spark.spark.pages import (chained_page_py, template_html_py,
@@ -84,6 +85,34 @@ def gen_extract_full(docs: list[tuple[int, str]]) -> pa.Table:
         "failed": pa.array(cols["failed"], pa.bool_()),
         "html_bytes": pa.array(cols["html_bytes"], pa.int64()),
         "text_chars": pa.array(cols["text_chars"], pa.int64()),
+    })
+
+
+def gen_extract_hooked(docs: list[tuple[int, str]]) -> pa.Table:
+    """Kernel output with the demo Image/Anchor transformer hooks — the
+    reference's extension points (origsrc/orighref attrs + CDN img
+    rewrite) exercised through the same batch contract."""
+    cols: dict[str, list] = {k: [] for k in (
+        "url", "extracted", "title", "content_md5", "content_len",
+        "failed")}
+    for doc_id, text in docs:
+        url = template_url_py(int(doc_id))
+        html = template_html_py(int(doc_id), text).encode("utf-8")
+        r = _hooked_row(url, html)
+        content = r["content"] or ""
+        cols["url"].append(url)
+        cols["extracted"].append(bool(r["extracted"]))
+        cols["title"].append(r["title"] or "")
+        cols["content_md5"].append(_md5(content))
+        cols["content_len"].append(len(content))
+        cols["failed"].append(r["error"] is not None)
+    return pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "extracted": pa.array(cols["extracted"], pa.bool_()),
+        "title": pa.array(cols["title"], pa.string()),
+        "content_md5": pa.array(cols["content_md5"], pa.string()),
+        "content_len": pa.array(cols["content_len"], pa.int64()),
+        "failed": pa.array(cols["failed"], pa.bool_()),
     })
 
 
@@ -196,6 +225,7 @@ def generate(sf_dir: str) -> dict[str, str]:
     written = {}
     for name, table in (
             ("extract_full", gen_extract_full(docs)),
+            ("extract_hooked", gen_extract_hooked(docs)),
             ("stitch_multipage", gen_stitch(docs)),
             ("media_features", gen_media_features(docs)),
             ("media_frames", gen_media_frames(docs))):

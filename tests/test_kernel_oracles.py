@@ -20,6 +20,7 @@ ORACLE_DIR = os.path.join(
 
 KERNEL_QUERIES = ["extract_articles", "extract_fingerprints",
                   "extract_metrics", "extract_next_pages",
+                  "extract_with_transformers",
                   "stitch_multipage", "media_features", "media_frames"]
 
 
@@ -39,8 +40,8 @@ def entry():
 
 
 def test_oracles_generated():
-    for f in ("extract_full", "stitch_multipage", "media_features",
-              "media_frames"):
+    for f in ("extract_full", "extract_hooked", "stitch_multipage",
+              "media_features", "media_frames"):
         assert os.path.exists(os.path.join(ORACLE_DIR, f"{f}.parquet")), (
             "run: python scripts/gen_oracles.py")
 
