@@ -462,6 +462,62 @@ DEDUP_SIMHASH_SQL = f"""
 """
 
 
+def simhash_bands_build(spark: SparkSession, sf_dir: str,
+                        table: str = "simhash_bands",
+                        n_buckets: int = 16) -> None:
+    """Materialize the (capped) simhash band table BUCKETED on the join
+    key — the co-located-join storage layout: both sides of the banded
+    self-join then read pre-bucketed files and the join runs with ZERO
+    exchanges (plan-locked in tests/test_plans.py). At 100 TB this is
+    how the candidate-pair pass avoids shuffling the band table twice
+    per run; the bucket count scales with corpus size the same way the
+    pre-salted pages partition count does."""
+    sims = simhash(spark, sf_dir)
+    bands = sims.selectExpr(
+        "doc_id", "simhash",
+        "explode(array(0, 1, 2, 3)) as band_id"
+    ).selectExpr(
+        "doc_id", "simhash", "band_id",
+        "shiftright(simhash, band_id * 15) & 32767 as band_sig")
+    bands = _cap_buckets(bands)
+    # drop any previous incarnation INCLUDING an orphaned managed
+    # location (a crashed earlier write leaves the dir behind and
+    # saveAsTable then refuses with LOCATION_ALREADY_EXISTS)
+    spark.sql(f"drop table if exists {table}")
+    try:
+        import shutil
+        wh = spark.conf.get("spark.sql.warehouse.dir",
+                            "spark-warehouse").replace("file:", "")
+        shutil.rmtree(os.path.join(wh, table.split(".")[-1]),
+                      ignore_errors=True)
+    except Exception:
+        pass
+    (bands.write.mode("overwrite")
+     .bucketBy(n_buckets, "band_id", "band_sig")
+     .sortBy("band_id", "band_sig")
+     .saveAsTable(table))
+
+
+def dedup_simhash_bucketed(spark: SparkSession,
+                           table: str = "simhash_bands") -> DataFrame:
+    """The banded near-dup self-join over the bucketed band table built
+    by ``simhash_bands_build``: same rows as dedup_simhash, but the join
+    reads co-located buckets — no exchange on either side."""
+    bands = spark.table(table)
+    a = bands.selectExpr("doc_id as doc1", "simhash as sim1",
+                         "band_id", "band_sig")
+    b = bands.selectExpr("doc_id as doc2", "simhash as sim2",
+                         "band_id", "band_sig")
+    pairs = (a.join(b, ["band_id", "band_sig"])
+             .where(F.col("doc1") < F.col("doc2"))
+             .select("doc1", "doc2", "sim1", "sim2").distinct()
+             .selectExpr("doc1", "doc2",
+                         "cast(bit_count(sim1 ^ sim2) as bigint) as hamming")
+             .where(F.col("hamming") <= _HAMMING_MAX))
+    return pairs.select(F.col("doc1").cast("long"),
+                        F.col("doc2").cast("long"), "hamming")
+
+
 # --- minhash LSH ---------------------------------------------------------------
 
 _N_MINHASH = 16

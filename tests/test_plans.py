@@ -197,6 +197,35 @@ def test_training_mix_uses_semi_joins(spark):
     assert "LeftSemi" in plan
 
 
+def test_bucketed_band_join_has_no_exchange(spark):
+    """The bucketed band-table layout must make the banded self-join
+    exchange-free (both sides read co-located buckets on the join key),
+    with rows identical to the shuffle-based dedup_simhash."""
+    from nreadability_spark.spark.ops import (dedup_simhash,
+                                              dedup_simhash_bucketed,
+                                              simhash_bands_build)
+    simhash_bands_build(spark, SF_DIR, table="t_simhash_bands_plan")
+    # at test scale Spark would just broadcast the tiny table; disable
+    # that so the plan shows what a 100 TB band table would do
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup_simhash_bucketed(spark, table="t_simhash_bands_plan")
+        plan = plan_of(df)
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount" in plan  # bucketed scans feed it
+        # no shuffle feeds the join: an unbucketed self-join would need
+        # two Exchanges for its sides plus one for the distinct agg; the
+        # bucketed layout leaves ONLY the distinct's
+        assert node_count(plan, "Exchange") == 1
+        assert "BroadcastExchange" not in plan
+        got = sorted(map(tuple, df.collect()))
+        base = sorted(map(tuple, dedup_simhash(spark, SF_DIR).collect()))
+        assert got == base
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("drop table if exists t_simhash_bands_plan")
+
+
 def test_vocab_build_has_mapside_partial_agg(spark):
     """The document-frequency count must partial-aggregate before its
     exchange (map-side combine on the exploded token stream)."""
