@@ -94,7 +94,8 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "top_spenders", "token_counts", "token_counts_bpe",
                  "doc_fingerprint",
                  "quality_score", "lang_id", "pages_by_host", "host_cap",
-                 "training_mix"):
+                 "training_mix", "quality_repetition", "pii_redact",
+                 "decontaminate", "url_normalize"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

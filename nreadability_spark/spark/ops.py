@@ -1462,6 +1462,308 @@ TRAINING_MIX_SQL = f"""
 """
 
 
+# --- repetition-based quality filters (Gopher-style) ----------------------------
+
+def _gram_expr_spark(n: int) -> str:
+    """Word n-gram array over the hoisted token array ``t`` (0-based
+    subscripts; the slice guard keeps short docs at an empty array)."""
+    parts = ", ".join(["x"] + [f"t[i + {j}]" for j in range(1, n)])
+    return (f"transform(slice(t, 1, greatest(size(t) - {n - 1}, 0)), "
+            f"(x, i) -> concat_ws(' ', {parts}))")
+
+
+def _gram_expr_duck(n: int) -> str:
+    """Same n-gram array in DuckDB (1-based subscripts/lambda index)."""
+    parts = " || ' ' || ".join(["x"] + [f"t[i + {j}]" for j in range(1, n)])
+    return f"list_transform(t[1:len(t) - {n - 1}], (x, i) -> {parts})"
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    word bigrams/trigrams occupied by the single most frequent gram
+    (top_*_milli) and by grams occurring more than once (dup_*_milli) —
+    the standard boilerplate/spam filters a training pipeline applies
+    after extraction (cf. Rae et al. 2021 §A1.1, public).
+
+    Plan shape: explode grams -> groupBy (doc_id, gram) with map-side
+    partial aggregation -> per-doc rollup on doc_id. Both exchanges key
+    on high-cardinality composites so no single reducer hot-spots; the
+    two gram sizes pipeline independently until the final doc_id join.
+    Ratios are floor()'d scaled integers so no float crosses the
+    compare boundary."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", f"{_TOKENS} as t")
+
+    def stats(n: int, pfx: str) -> DataFrame:
+        grams = toks.selectExpr(
+            "doc_id", f"explode({_gram_expr_spark(n)}) as g")
+        cnt = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return (cnt.groupBy("doc_id")
+                .agg(F.sum("c").alias("total"),
+                     F.max("c").alias("topc"),
+                     F.sum(F.when(F.col("c") > 1, F.col("c"))
+                           .otherwise(F.lit(0))).alias("dupc"))
+                .selectExpr(
+                    "doc_id",
+                    f"cast(total as bigint) as {pfx}_total",
+                    f"cast(floor(topc * 1000.0 / total) as bigint) "
+                    f"as {pfx}_top_milli",
+                    f"cast(floor(dupc * 1000.0 / total) as bigint) "
+                    f"as {pfx}_dup_milli"))
+
+    out = stats(2, "bigram").join(stats(3, "trigram"), "doc_id")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "bigram_total", "bigram_top_milli",
+                      "bigram_dup_milli", "trigram_total",
+                      "trigram_top_milli", "trigram_dup_milli")
+
+
+def _repetition_sql_duck() -> str:
+    def stats(n: int, pfx: str) -> str:
+        return f"""
+          {pfx}_c as (
+            select doc_id, g, count(*) as c
+            from (select doc_id, unnest({_gram_expr_duck(n)}) as g
+                  from toks)
+            group by 1, 2),
+          {pfx}_s as (
+            select doc_id,
+                   cast(sum(c) as bigint) as {pfx}_total,
+                   cast(floor(max(c) * 1000.0 / sum(c)) as bigint)
+                     as {pfx}_top_milli,
+                   cast(floor(sum(case when c > 1 then c else 0 end)
+                              * 1000.0 / sum(c)) as bigint)
+                     as {pfx}_dup_milli
+            from {pfx}_c group by 1)"""
+    return f"""
+        with toks as (
+          select doc_id, {_TOKENS_DUCK} as t from documents),
+        {stats(2, 'bigram')},
+        {stats(3, 'trigram')}
+        select cast(doc_id as bigint) as doc_id,
+               bigram_total, bigram_top_milli, bigram_dup_milli,
+               trigram_total, trigram_top_milli, trigram_dup_milli
+        from bigram_s join trigram_s using (doc_id)
+    """
+
+
+QUALITY_REPETITION_SQL = _repetition_sql_duck()
+
+
+# --- PII detection / redaction ---------------------------------------------------
+
+# bracket-class-only regexes so the identical pattern string is valid in
+# both Java (Spark) and RE2 (DuckDB) with no escape-dialect differences
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+_PII_PHONE = "555-[0-9]{4}"
+
+# the synthesized corpus is PII-free word salad, so inject deterministic
+# PII spans (email / IPv4 / phone) into a doc_id-keyed subset — the same
+# expression in both engines — to make detection/redaction non-trivial
+_PII_TEXT_SPARK = (
+    "concat(text,"
+    " case when doc_id % 5 = 0 then concat(' contact user',"
+    "   cast(doc_id as string), '@example.com') else '' end,"
+    " case when doc_id % 7 = 0 then concat(' from 10.',"
+    "   cast(doc_id % 200 as string), '.0.',"
+    "   cast(doc_id % 250 as string)) else '' end,"
+    " case when doc_id % 11 = 0 then concat(' call 555-',"
+    "   cast(1000 + doc_id % 9000 as string)) else '' end)")
+_PII_TEXT_DUCK = (
+    "text ||"
+    " (case when doc_id % 5 = 0 then ' contact user' ||"
+    "   cast(doc_id as varchar) || '@example.com' else '' end) ||"
+    " (case when doc_id % 7 = 0 then ' from 10.' ||"
+    "   cast(doc_id % 200 as varchar) || '.0.' ||"
+    "   cast(doc_id % 250 as varchar) else '' end) ||"
+    " (case when doc_id % 11 = 0 then ' call 555-' ||"
+    "   cast(1000 + doc_id % 9000 as varchar) else '' end)")
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact emails, IPv4s, and phone-style
+    numbers per document (email -> ip -> phone, fixed order so nested
+    matches resolve identically in both engines). Pure JVM regex
+    projection — single scan stage, no shuffle, no Python; the shape a
+    pre-training privacy pass runs over every shard."""
+    docs = _read(spark, sf_dir, "documents")
+    t = docs.selectExpr("doc_id", f"{_PII_TEXT_SPARK} as text")
+    return t.selectExpr(
+        "cast(doc_id as bigint) as doc_id",
+        f"cast(size(regexp_extract_all(text, '{_PII_EMAIL}', 0)) as bigint)"
+        " as n_emails",
+        f"cast(size(regexp_extract_all(text, '{_PII_IPV4}', 0)) as bigint)"
+        " as n_ips",
+        f"cast(size(regexp_extract_all(text, '{_PII_PHONE}', 0)) as bigint)"
+        " as n_phones",
+        f"md5(regexp_replace(regexp_replace(regexp_replace(text,"
+        f" '{_PII_EMAIL}', '<EMAIL>'), '{_PII_IPV4}', '<IP>'),"
+        f" '{_PII_PHONE}', '<PHONE>')) as redacted_md5",
+        f"cast(length(regexp_replace(regexp_replace(regexp_replace(text,"
+        f" '{_PII_EMAIL}', '<EMAIL>'), '{_PII_IPV4}', '<IP>'),"
+        f" '{_PII_PHONE}', '<PHONE>')) as bigint) as redacted_len",
+    )
+
+
+PII_REDACT_SQL = f"""
+    with t as (
+      select doc_id, {_PII_TEXT_DUCK} as text from documents)
+    select cast(doc_id as bigint) as doc_id,
+           cast(len(regexp_extract_all(text, '{_PII_EMAIL}')) as bigint)
+             as n_emails,
+           cast(len(regexp_extract_all(text, '{_PII_IPV4}')) as bigint)
+             as n_ips,
+           cast(len(regexp_extract_all(text, '{_PII_PHONE}')) as bigint)
+             as n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) as redacted_md5,
+           cast(length(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) as bigint) as redacted_len
+    from t
+"""
+
+
+# --- benchmark decontamination ---------------------------------------------------
+
+# held-out "benchmark" = every 97th doc; production pipelines match 8-13
+# token spans, but this synthetic vocabulary is tiny so 3-grams keep the
+# hit set non-trivial at test scale (the plan shape is identical)
+_DECON_N = 3
+_DECON_MOD = 97
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with a held-out benchmark set. The benchmark n-gram table is
+    tiny relative to the corpus (eval suites are KBs against TBs), so it
+    BROADCASTS — the corpus-side shingle stream never shuffles; the only
+    exchange is the per-doc hit count keyed on doc_id."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", f"{_TOKENS} as t")
+    sh = toks.selectExpr(
+        "doc_id",
+        f"explode(array_distinct({_gram_expr_spark(_DECON_N)})) as s")
+    bench = (sh.where(F.col("doc_id") % _DECON_MOD == 0)
+             .select("s").distinct())
+    return (sh.where(F.col("doc_id") % _DECON_MOD != 0)
+            .join(F.broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits"))
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_hits").cast("long").alias("n_hits")))
+
+
+DECONTAMINATE_SQL = f"""
+    with toks as (
+      select doc_id, {_TOKENS_DUCK} as t from documents),
+    sh as (
+      select distinct doc_id,
+             unnest({_gram_expr_duck(_DECON_N)}) as s
+      from toks),
+    bench as (
+      select distinct s from sh where doc_id % {_DECON_MOD} = 0)
+    select cast(doc_id as bigint) as doc_id,
+           cast(count(*) as bigint) as n_hits
+    from sh join bench using (s)
+    where doc_id % {_DECON_MOD} <> 0
+    group by 1
+"""
+
+
+# --- URL normalization / canonical dedup -----------------------------------------
+
+# messy crawl URLs synthesized from doc_id (same expression both engines):
+# mixed-case scheme+host, sometimes-explicit default port, trailing-slash
+# variants, utm_* tracking params, fragments; small moduli so distinct
+# raw URLs genuinely collapse under normalization
+_URL_SPARK = (
+    "concat('HTTP://Host', cast(doc_id % 23 as string), '.Example.COM',"
+    " case when doc_id % 2 = 0 then ':80' else '' end,"
+    " '/Path/', cast(doc_id % 7 as string),"
+    " case when doc_id % 3 = 0 then '/' else '' end,"
+    " case when doc_id % 4 = 0 then concat('?utm_source=feed&"
+    "utm_campaign=x&id=', cast(doc_id % 5 as string))"
+    "      when doc_id % 4 = 1 then concat('?id=',"
+    " cast(doc_id % 5 as string), '&utm_medium=email')"
+    "      else '' end,"
+    " case when doc_id % 6 = 0 then concat('#section-',"
+    " cast(doc_id % 5 as string)) else '' end)")
+_URL_DUCK = (
+    "'HTTP://Host' || cast(doc_id % 23 as varchar) || '.Example.COM' ||"
+    " (case when doc_id % 2 = 0 then ':80' else '' end) ||"
+    " '/Path/' || cast(doc_id % 7 as varchar) ||"
+    " (case when doc_id % 3 = 0 then '/' else '' end) ||"
+    " (case when doc_id % 4 = 0 then '?utm_source=feed&utm_campaign=x&id='"
+    "   || cast(doc_id % 5 as varchar)"
+    "       when doc_id % 4 = 1 then '?id=' || cast(doc_id % 5 as varchar)"
+    "   || '&utm_medium=email'"
+    "       else '' end) ||"
+    " (case when doc_id % 6 = 0 then '#section-' ||"
+    "   cast(doc_id % 5 as varchar) else '' end)")
+
+
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup: strip fragments,
+    lowercase scheme+authority (path case preserved), drop the default
+    :80 port, strip utm_* tracking params, collapse trailing '/'+'?'
+    debris — then group by the normalized URL keeping the minimum doc_id
+    (the crawl-dedup step that runs before content dedup). Pure string
+    projection + one groupBy on the normalized key; no Python, no
+    skew (normalized URLs are near-unique by construction at scale)."""
+    docs = _read(spark, sf_dir, "documents")
+    step = docs.selectExpr("doc_id", f"{_URL_SPARK} as url")
+    step = step.selectExpr(
+        "doc_id", "url", "regexp_replace(url, '#.*', '') as u")
+    step = step.selectExpr(
+        "doc_id", "url",
+        "concat(lower(regexp_extract(u, '^[^/]+//[^/]+', 0)),"
+        " substr(u, length(regexp_extract(u, '^[^/]+//[^/]+', 0)) + 1))"
+        " as u")
+    step = step.selectExpr(
+        "doc_id", "url", "replace(u, ':80/', '/') as u")
+    step = step.selectExpr(
+        "doc_id", "url",
+        "regexp_replace(u, 'utm_[a-z]+=[^&]*&?', '') as u")
+    step = step.selectExpr(
+        "doc_id", "url", "replace(u, '/?', '?') as u")
+    step = step.selectExpr(
+        "doc_id", "url", "regexp_replace(u, '[?&/]+$', '') as norm_url")
+    return (step.groupBy("norm_url")
+            .agg(F.min("doc_id").cast("long").alias("canonical_doc_id"),
+                 F.count("*").cast("long").alias("n_variants"),
+                 F.countDistinct("url").cast("long")
+                 .alias("n_raw_variants")))
+
+
+URL_NORMALIZE_SQL = f"""
+    with raw as (
+      select doc_id, {_URL_DUCK} as url from documents),
+    s1 as (select doc_id, url,
+                  regexp_replace(url, '#.*', '', 'g') as u from raw),
+    s2 as (select doc_id, url,
+                  lower(regexp_extract(u, '^[^/]+//[^/]+')) ||
+                  substr(u, length(regexp_extract(u, '^[^/]+//[^/]+')) + 1)
+                    as u
+           from s1),
+    s3 as (select doc_id, url, replace(u, ':80/', '/') as u from s2),
+    s4 as (select doc_id, url,
+                  regexp_replace(u, 'utm_[a-z]+=[^&]*&?', '', 'g') as u
+           from s3),
+    s5 as (select doc_id, url, replace(u, '/?', '?') as u from s4),
+    s6 as (select doc_id, url,
+                  regexp_replace(u, '[?&/]+$', '', 'g') as norm_url
+           from s5)
+    select norm_url,
+           cast(min(doc_id) as bigint) as canonical_doc_id,
+           cast(count(*) as bigint) as n_variants,
+           cast(count(distinct url) as bigint) as n_raw_variants
+    from s6 group by 1
+"""
+
+
 # --- registry -------------------------------------------------------------------
 
 SQL_OPS = {
@@ -1482,6 +1784,10 @@ SQL_OPS = {
                                    DEDUP_KEEP_REPRESENTATIVES_SQL),
     "host_cap": (host_cap, HOST_CAP_SQL),
     "training_mix": (training_mix, TRAINING_MIX_SQL),
+    "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
+    "pii_redact": (pii_redact, PII_REDACT_SQL),
+    "decontaminate": (decontaminate, DECONTAMINATE_SQL),
+    "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "ann_ivf_topk64": (ann_ivf_topk64, ANN_IVF_TOPK64_SQL),

@@ -234,6 +234,35 @@ def test_vocab_build_has_mapside_partial_agg(spark):
     assert "partial_count" in plan
 
 
+def test_decontaminate_broadcasts_benchmark_ngrams(spark):
+    """The benchmark n-gram table must broadcast (eval suites are KBs
+    against a TB-scale corpus): the corpus-side shingle stream joins it
+    without shuffling; the only exchange keys on doc_id for the hit
+    count."""
+    from nreadability_spark.spark.ops import decontaminate
+    plan = plan_of(decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_repetition_has_mapside_partial_agg(spark):
+    """Both gram counts must partial-aggregate before their exchanges
+    (map-side combine on the exploded gram stream) — at corpus scale the
+    exploded grams are ~100x the document bytes."""
+    from nreadability_spark.spark.ops import quality_repetition
+    plan = plan_of(quality_repetition(spark, SF_DIR))
+    assert "partial_count" in plan
+
+
+def test_pii_redact_is_single_stage(spark):
+    """PII scrub is a pure JVM regex projection: no exchange, no Python
+    workers in the plan."""
+    from nreadability_spark.spark.ops import pii_redact
+    plan = plan_of(pii_redact(spark, SF_DIR))
+    assert node_count(plan, "Exchange") == 0
+    assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython
+
+
 def test_filter_pushdown_reaches_scan(spark):
     df = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")) \
         .where("o_custkey = 42").select("o_orderkey")
