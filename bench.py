@@ -95,7 +95,8 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "doc_fingerprint",
                  "quality_score", "lang_id", "pages_by_host", "host_cap",
                  "training_mix", "quality_repetition", "pii_redact",
-                 "decontaminate", "url_normalize"):
+                 "decontaminate", "url_normalize", "events_asof",
+                 "events_range_counts"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

@@ -1764,6 +1764,142 @@ URL_NORMALIZE_SQL = f"""
 """
 
 
+# --- as-of / range joins (time-series ops Spark lacks natively) -----------------
+
+_EVENTS_BASE_SPARK = (
+    "select event_id, user_id, event_type,"
+    " unix_micros(cast(ts as timestamp)) as ts_us,"
+    " cast(floor(value * 100) as bigint) as value_cents")
+_EVENTS_BASE_DUCK = (
+    "select event_id, user_id, event_type, epoch_us(ts) as ts_us,"
+    " cast(floor(value * 100) as bigint) as value_cents from events")
+
+
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'error' event matched to the same user's most
+    recent 'click' at-or-before it (attribution / point-in-time lookup).
+
+    Spark has no ASOF JOIN, and the naive per-key join explodes:
+    equi-join on user_id produces |errors_u| x |clicks_u| rows per user
+    before the max-filter. This is the UNION-AND-WINDOW shape instead —
+    tag both sides, union, and run one last(ignorenulls) window over
+    (ts, side): each error row reads the latest preceding click columns.
+    ONE shuffle on user_id, zero join output amplification, at any
+    scale; a skewed user costs a window partition, not a quadratic
+    blowup. Oracle: DuckDB's native ASOF LEFT JOIN.
+
+    Equal-timestamp semantics: clicks sort before errors at the same ts
+    (side 0 < 1) so ts_click <= ts_error matches, mirroring ASOF's >=;
+    the right side is deduped to one click per (user, ts) by max
+    event_id so both engines pick the identical row."""
+    ev = _read(spark, sf_dir, "events")
+    base = ev.selectExpr(
+        "event_id", "user_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as ts_us",
+        "cast(floor(value * 100) as bigint) as value_cents")
+    lefts = base.where("event_type = 'error'").selectExpr(
+        "user_id", "ts_us", "1 as side", "event_id",
+        "cast(null as bigint) as click_id",
+        "cast(null as bigint) as click_ts_us",
+        "cast(null as bigint) as click_cents")
+    rights = (base.where("event_type = 'click'")
+              .groupBy("user_id", "ts_us")
+              .agg(F.max("event_id").alias("click_id"),
+                   F.max_by("value_cents", "event_id").alias("click_cents"))
+              .selectExpr("user_id", "ts_us", "0 as side",
+                          "cast(null as bigint) as event_id",
+                          "click_id", "ts_us as click_ts_us",
+                          "click_cents"))
+    u = lefts.unionByName(rights)
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts_us", "side",
+                  F.expr("coalesce(event_id, click_id)"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = u.select(
+        "user_id", "ts_us", "side", "event_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("m_id"),
+        F.last("click_ts_us", ignorenulls=True).over(w).alias("m_ts"),
+        F.last("click_cents", ignorenulls=True).over(w).alias("m_cents"))
+    return (matched.where("side = 1")
+            .selectExpr("cast(user_id as bigint) as user_id",
+                        "cast(event_id as bigint) as event_id",
+                        "cast(ts_us as bigint) as ts_us",
+                        "coalesce(m_id, -1) as click_id",
+                        "coalesce(m_cents, -1) as click_cents",
+                        "coalesce(ts_us - m_ts, -1) as gap_us"))
+
+
+EVENTS_ASOF_SQL = f"""
+    with base as ({_EVENTS_BASE_DUCK}),
+    lefts as (select * from base where event_type = 'error'),
+    rights as (
+      select user_id, ts_us, max(event_id) as click_id,
+             max_by(value_cents, event_id) as click_cents
+      from base where event_type = 'click' group by 1, 2)
+    select cast(l.user_id as bigint) as user_id,
+           cast(l.event_id as bigint) as event_id,
+           cast(l.ts_us as bigint) as ts_us,
+           cast(coalesce(r.click_id, -1) as bigint) as click_id,
+           cast(coalesce(r.click_cents, -1) as bigint) as click_cents,
+           cast(coalesce(l.ts_us - r.ts_us, -1) as bigint) as gap_us
+    from lefts l
+    asof left join rights r
+      on l.user_id = r.user_id and l.ts_us >= r.ts_us
+"""
+
+_RANGE_US = 43_200_000_000  # 12 hours (events are sparse per user)
+
+
+def events_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per 'error' event, how many same-user 'clicks' landed
+    in the 12 hours before it. A plain inequality join degenerates to
+    a per-user cross join at scale, so the time axis is BUCKETED: each
+    click replicates into its own 12-hour bucket and the next one (2x
+    bounded amplification), the join runs as an equi-join on
+    (user_id, bucket), and the exact range predicate filters inside the
+    join. Oracle: the exact inequality join (DuckDB handles it as IEJoin
+    natively at test scale)."""
+    ev = _read(spark, sf_dir, "events")
+    base = ev.selectExpr(
+        "event_id", "user_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as ts_us")
+    e = base.where("event_type = 'error'").selectExpr(
+        "user_id", "event_id", "ts_us",
+        f"cast(floor(ts_us / {_RANGE_US}) as bigint) as b")
+    c = base.where("event_type = 'click'").selectExpr(
+        "user_id as c_user", "ts_us as c_ts",
+        f"explode(array(cast(floor(ts_us / {_RANGE_US}) as bigint),"
+        f" cast(floor(ts_us / {_RANGE_US}) as bigint) + 1)) as c_b")
+    cond = ((e["user_id"] == c["c_user"]) & (e["b"] == c["c_b"])
+            & (c["c_ts"] > e["ts_us"] - _RANGE_US)
+            & (c["c_ts"] <= e["ts_us"]))
+    joined = e.join(c, cond, "left")
+    return (joined.groupBy("user_id", "event_id", "ts_us")
+            .agg(F.count("c_ts").alias("n_clicks_12h"))
+            .selectExpr("cast(user_id as bigint) as user_id",
+                        "cast(event_id as bigint) as event_id",
+                        "cast(ts_us as bigint) as ts_us",
+                        "cast(n_clicks_12h as bigint) as n_clicks_12h"))
+
+
+EVENTS_RANGE_COUNTS_SQL = f"""
+    with base as ({_EVENTS_BASE_DUCK}),
+    e as (select user_id, event_id, ts_us from base
+          where event_type = 'error'),
+    c as (select user_id as c_user, ts_us as c_ts from base
+          where event_type = 'click')
+    select cast(e.user_id as bigint) as user_id,
+           cast(e.event_id as bigint) as event_id,
+           cast(e.ts_us as bigint) as ts_us,
+           cast(count(c.c_ts) as bigint) as n_clicks_12h
+    from e left join c
+      on c.c_user = e.user_id
+     and c.c_ts > e.ts_us - {_RANGE_US}
+     and c.c_ts <= e.ts_us
+    group by 1, 2, 3
+"""
+
+
 # --- registry -------------------------------------------------------------------
 
 SQL_OPS = {
@@ -1788,6 +1924,8 @@ SQL_OPS = {
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
+    "events_asof": (events_asof, EVENTS_ASOF_SQL),
+    "events_range_counts": (events_range_counts, EVENTS_RANGE_COUNTS_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "ann_ivf_topk64": (ann_ivf_topk64, ANN_IVF_TOPK64_SQL),

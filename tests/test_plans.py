@@ -263,6 +263,28 @@ def test_pii_redact_is_single_stage(spark):
     assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython
 
 
+def test_events_asof_is_joinless_single_user_shuffle(spark):
+    """The as-of join must compile to the union+window shape: ZERO join
+    nodes (a per-user equi-join would amplify |errors_u| x |clicks_u|
+    rows before the max-filter), just a window over the user_id
+    exchange."""
+    from nreadability_spark.spark.ops import events_asof
+    plan = plan_of(events_asof(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_events_range_join_is_bucketed_equijoin(spark):
+    """The range join must run as a hash equi-join on (user_id, bucket)
+    with the range predicate inside — never a nested-loop/cartesian
+    product over the inequality."""
+    from nreadability_spark.spark.ops import events_range_counts
+    plan = plan_of(events_range_counts(spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan \
+        or "ShuffledHashJoin" in plan
+
+
 def test_filter_pushdown_reaches_scan(spark):
     df = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")) \
         .where("o_custkey = 42").select("o_orderkey")
