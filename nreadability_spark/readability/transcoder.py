@@ -282,6 +282,44 @@ def _set_inner_html_if_changed(element: Element, old_html: str,
         _coalesce_text_like_reparse(element)
 
 
+def _inner_html_has_div_to_p(element: Element) -> bool:
+    """Exact equivalent of ``RX_DIV_TO_P.search(element.get_inner_html())``
+    (ReadabilityTranscoder.cs StripUnlikelyCandidates' divToPElementsRegex
+    probe) without serializing the subtree: a literal ``<`` in the
+    serialized inner HTML can only come from a descendant OPEN tag
+    (``<`` + tag), or from the raw payload of a CDATA section, comment,
+    or processing instruction — text nodes and attribute values escape
+    ``<`` to ``&lt;``, and end tags (``</``) can never match the regex
+    (it requires a letter after ``<``). Early-exits on the first block
+    marker instead of rendering the whole subtree (~25% of kernel time
+    on the fixture corpus). Falls back to the serialized check in the
+    pathological case of an attribute NAME containing ``<`` (escape_attr
+    only escapes values). A/B-locked against the serialized form across
+    the fixture corpus by tests/test_transcoder_units.py."""
+    stack = list(element.children)
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Element):
+            if RX_DIV_TO_P.match("<" + n.tag):
+                return True
+            for k in n.attrs:
+                if "<" in k:
+                    return RX_DIV_TO_P.search(
+                        element.get_inner_html()) is not None
+            stack.extend(n.children)
+        elif isinstance(n, Text):
+            if n.is_cdata and RX_DIV_TO_P.search(n.value):
+                return True
+        elif isinstance(n, Comment):
+            if RX_DIV_TO_P.search(n.value):
+                return True
+        else:  # ProcessingInstruction: raw data is written unescaped
+            data = getattr(n, "data", "")
+            if data and RX_DIV_TO_P.search(data):
+                return True
+    return False
+
+
 def _traverse_elements(element: Element, visit: Callable[[Element], None]):
     """ElementsTraverser parity: visit first, then children via captured
     next-pointers (mutations by the visitor don't derail iteration)."""
@@ -658,7 +696,7 @@ class Transcoder:
                     element.remove()
                 return
             if name == "div":
-                if not RX_DIV_TO_P.search(element.get_inner_html()):
+                if not _inner_html_has_div_to_p(element):
                     element.tag = "p"
                 else:
                     def wrap_text(child: Node) -> None:

@@ -352,3 +352,71 @@ def test_get_user_style_class():
     assert get_user_style_class("prefix", "Abc") == "prefix-abc"
     assert get_user_style_class("prefix", "ABc") == "prefix-a-bc"
     assert get_user_style_class("prefix", "ABcD") == "prefix-a-bc-d"
+
+
+# --- _inner_html_has_div_to_p fast path ---------------------------------------
+
+def test_div_to_p_probe_matches_serialized_form_on_fixture_corpus():
+    """The serialization-free RX_DIV_TO_P probe must agree with the
+    serialized form (`RX_DIV_TO_P.search(get_inner_html())`) on every
+    element of every fixture document — the A/B lock for the fast path."""
+    import glob
+    from nreadability_spark.readability.transcoder import (
+        RX_DIV_TO_P, _inner_html_has_div_to_p, _traverse_elements)
+
+    files = sorted(glob.glob(
+        "/root/reference/Carbon.Readability.Tests/SampleInput/"
+        "SampleInput_*.html"))
+    assert files, "fixture corpus missing"
+    checked = 0
+    for path in files:
+        html = open(path, "rb").read().decode("utf-8", errors="replace")
+        document = build_document(html)
+        if document.root is None:
+            continue
+        mismatches = []
+
+        def probe(el):
+            nonlocal checked
+            fast = _inner_html_has_div_to_p(el)
+            slow = RX_DIV_TO_P.search(el.get_inner_html()) is not None
+            checked += 1
+            if fast != slow:
+                mismatches.append((path, el.tag, fast, slow))
+
+        _traverse_elements(document.root, probe)
+        assert not mismatches, mismatches[:5]
+    assert checked > 1000
+
+
+def test_div_to_p_probe_edge_nodes():
+    """CDATA / comment / PI payloads are written raw, so block markers
+    inside them must match exactly as the serialized form does; escaped
+    text must NOT match."""
+    from nreadability_spark.readability.transcoder import (
+        _inner_html_has_div_to_p)
+    from nreadability_spark.readability.dom import Comment
+
+    el = Element("div")
+    t = Text("<p> looks like a tag but serializes escaped")
+    t.parent = el
+    el.children.append(t)
+    assert _inner_html_has_div_to_p(el) is False
+
+    el2 = Element("div")
+    c = Comment("hidden <table> marker")
+    c.parent = el2
+    el2.children.append(c)
+    assert _inner_html_has_div_to_p(el2) is True
+
+    el3 = Element("div")
+    cd = Text("raw <img src=x>", is_cdata=True)
+    cd.parent = el3
+    el3.children.append(cd)
+    assert _inner_html_has_div_to_p(el3) is True
+
+    el4 = Element("div")
+    addr = Element("address")  # '<address' matches the '<a' alternative
+    addr.parent = el4
+    el4.children.append(addr)
+    assert _inner_html_has_div_to_p(el4) is True
