@@ -300,7 +300,11 @@ class Element(Node):
                     stack.extend(node.children[::-1])
         return out
 
-    def count_elements_by_tag_name(self, tag: str) -> int:
+    def count_elements_by_tag_name(self, tag: str,
+                                   limit: int = 0) -> int:
+        """``limit`` > 0 stops the walk once that many matches are seen —
+        for existence (`limit=1`) or exactly-one (`limit=2`) probes the
+        rest of the subtree can't change the comparison's outcome."""
         t = tag.lower()
         count = 0
         stack = self.children[::-1]
@@ -309,9 +313,27 @@ class Element(Node):
             if type(node) is Element:
                 if node.tag == t:
                     count += 1
+                    if count == limit:
+                        return count
                 if node.children:
                     stack.extend(node.children[::-1])
         return count
+
+    def find_first_by_tag_name(self, tag: str) -> Optional["Element"]:
+        """First match in document order — identical to
+        ``get_elements_by_tag_name(tag)[0]`` but early-exits the DFS
+        (GetElementsByTagName consumers that only read the head of the
+        list, e.g. the per-call body/head lookups)."""
+        t = tag.lower()
+        stack = self.children[::-1]
+        while stack:
+            node = stack.pop()
+            if type(node) is Element:
+                if node.tag == t:
+                    return node
+                if node.children:
+                    stack.extend(node.children[::-1])
+        return None
 
     def get_children_by_tag_name(self, tag: str) -> list["Element"]:
         t = tag.lower()

@@ -147,18 +147,17 @@ def get_body(document: Document) -> Optional[Element]:
     root = document.root
     if root is None:
         return None
-    bodies = root.get_elements_by_tag_name("body")
-    return bodies[0] if bodies else None
+    return root.find_first_by_tag_name("body")
 
 
 def get_doc_title(document: Document) -> Optional[str]:
     root = document.root
     if root is None:
         return None
-    heads = root.get_elements_by_tag_name("head")
-    if not heads:
+    head = root.find_first_by_tag_name("head")
+    if head is None:
         return ""
-    titles = heads[0].get_children_by_tag_name("title")
+    titles = head.get_children_by_tag_name("title")
     if not titles:
         return ""
     return titles[0].value.strip()
@@ -828,9 +827,9 @@ class Transcoder:
         self.kill_breaks(article)
         self.clean(article, "form")
         self.clean(article, "object")
-        if len(article.get_elements_by_tag_name("h1")) == 1:
+        if article.count_elements_by_tag_name("h1", limit=2) == 1:
             self.clean(article, "h1")
-        if len(article.get_elements_by_tag_name("h2")) == 1:
+        if article.count_elements_by_tag_name("h2", limit=2) == 1:
             self.clean(article, "h2")
         self.clean(article, "iframe")
         self.clean_headers(article)
@@ -842,11 +841,11 @@ class Transcoder:
         for para in article.get_elements_by_tag_name("p"):
             if len(self.get_inner_text(para, False)) > 0:
                 continue
-            if para.count_elements_by_tag_name("img") > 0:
+            if para.count_elements_by_tag_name("img", limit=1) > 0:
                 continue
-            if para.count_elements_by_tag_name("embed") > 0:
+            if para.count_elements_by_tag_name("embed", limit=1) > 0:
                 continue
-            if para.count_elements_by_tag_name("object") > 0:
+            if para.count_elements_by_tag_name("object", limit=1) > 0:
                 continue
             to_remove.append(para)
         _remove_elements(to_remove)
@@ -971,9 +970,22 @@ class Transcoder:
         _remove_elements(to_remove)
 
     def clean_headers(self, element: Element) -> None:
+        # one DFS collecting all six header levels instead of six walks;
+        # per-level processing order is preserved (reads are pure and
+        # removal happens after all levels, so the outcome is identical)
+        by_level: dict[str, list[Element]] = {
+            f"h{level}": [] for level in range(1, 7)}
+        stack = element.children[::-1]
+        while stack:
+            node = stack.pop()
+            if type(node) is Element:
+                if node.tag in by_level:
+                    by_level[node.tag].append(node)
+                if node.children:
+                    stack.extend(node.children[::-1])
         to_remove = []
         for level in range(1, 7):
-            for header in element.get_elements_by_tag_name(f"h{level}"):
+            for header in by_level[f"h{level}"]:
                 if (self.get_class_weight(header) < 0
                         or self.get_links_density(header)
                         > MAX_HEADER_LINKS_DENSITY):
