@@ -19,6 +19,7 @@ a small from-scratch resolver:
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Optional
 
 _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):")
@@ -41,8 +42,13 @@ class ParsedUri:
         return self.path if self.path else "/"
 
 
+@lru_cache(maxsize=4096)
 def try_parse_absolute(url: str) -> Optional[ParsedUri]:
-    """Parse ``url`` as an absolute URI; None when System.Uri would refuse."""
+    """Parse ``url`` as an absolute URI; None when System.Uri would refuse.
+
+    Pure function over an effectively-immutable result (no caller writes
+    ParsedUri fields), so it memoizes: pages on the same host re-parse
+    the same base/nav URLs for every anchor of every document."""
     if url is None:
         return None
     url = url.strip()
