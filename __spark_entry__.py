@@ -4,7 +4,8 @@
                deterministically from sf0.001 ``documents``.
 ``queries``  — every implemented operator (SURVEY.md §2 + training-data
                ops); callables take (spark, sf_dir).
-``oracle_sql`` — one DuckDB oracle per query (all 32): the SQL ops run
+``oracle_sql`` — one DuckDB oracle per query (every key in queries()):
+               the SQL ops run
                directly against the parquet tables; the kernel queries
                (opaque readability UDF) read parquet materialized from the
                deterministic pure-Python kernel at sf0.01 by
