@@ -96,7 +96,8 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "quality_score", "lang_id", "pages_by_host", "host_cap",
                  "training_mix", "quality_repetition", "pii_redact",
                  "decontaminate", "url_normalize", "events_asof",
-                 "events_range_counts"):
+                 "events_range_counts", "stratified_sample",
+                 "lang_mix_weights", "pack_sequences"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

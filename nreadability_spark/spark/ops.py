@@ -1900,6 +1900,147 @@ EVENTS_RANGE_COUNTS_SQL = f"""
 """
 
 
+# --- corpus shaping: sampling / mixing / packing -------------------------------
+
+# Per-language keep rates in per-mille, the standard down-sample-the-head
+# mixture move (CommonCrawl-style corpora are English-heavy; low-resource
+# languages are kept in full). Unlisted languages default to keep-all.
+_SAMPLE_RATES = {"en": 350, "zh": 800, "es": 800}
+_SAMPLE_DEFAULT = 1000
+_SAMPLE_SALT = ":sample"
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling: a doc survives iff
+    a 60-bit md5 hash of (doc_id, salt) mod 1000 falls under its language's
+    per-mille rate. Hash-based (not rand()) so the sample is reproducible
+    across runs, engines, and retries — the property a resumable 100 TB
+    pipeline needs (a rerun of a failed partition must keep the same
+    rows). Zero shuffle: a pure filter projection the scan absorbs, so it
+    costs one pass at any corpus size and composes with partition pruning.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    h = _H60.format(
+        col=f"concat(cast(doc_id as string), '{_SAMPLE_SALT}')")
+    rate = ("case " + " ".join(
+        f"when lang = '{k}' then {v}" for k, v in _SAMPLE_RATES.items())
+        + f" else {_SAMPLE_DEFAULT} end")
+    return (docs
+            .withColumn("die", F.expr(f"{h} % 1000"))
+            .where(F.expr(f"die < {rate}"))
+            .selectExpr("cast(doc_id as bigint) as doc_id",
+                        "coalesce(lang, '') as lang",
+                        "cast(die as bigint) as die"))
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+    select cast(doc_id as bigint) as doc_id,
+           coalesce(lang, '') as lang,
+           cast(die as bigint) as die
+    from (
+      select doc_id, lang,
+             {_H60_DUCK.format(
+                 col="doc_id::varchar || '" + _SAMPLE_SALT + "'")}
+             % 1000 as die
+      from documents)
+    where die < (case {" ".join(
+        f"when lang = '{k}' then {v}" for k, v in _SAMPLE_RATES.items())}
+                 else {_SAMPLE_DEFAULT} end)
+"""
+
+
+# Target language mixture in per-mille (must sum to 1000): the shares a
+# training run wants, not the shares the crawl has.
+_MIX_TARGET = {"en": 400, "zh": 150, "es": 150, "de": 150, "fr": 150}
+
+
+def lang_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language resampling weights that turn the corpus's actual
+    language distribution into the target mixture: weight_ppm =
+    target_share / actual_share, in integer parts-per-million
+    (>1e6 = upsample, <1e6 = downsample). One tiny groupBy (cardinality =
+    #languages) plus a scalar total — the per-doc application is then a
+    broadcast join of this ≤O(100)-row table against the corpus, so the
+    expensive side never shuffles."""
+    docs = _read(spark, sf_dir, "documents")
+    counts = (docs.groupBy(F.coalesce(F.col("lang"), F.lit(""))
+                  .alias("lang"))
+              .agg(F.count("*").alias("n_docs")))
+    w = Window.partitionBy()
+    target = ("case " + " ".join(
+        f"when lang = '{k}' then {v}" for k, v in _MIX_TARGET.items())
+        + " else 0 end")
+    return (counts
+            .withColumn("total", F.sum("n_docs").over(w))
+            .selectExpr(
+                "lang",
+                "cast(n_docs as bigint) as n_docs",
+                f"cast(({target}) as bigint) as target_permille",
+                f"cast(floor(({target}) * total * 1000.0 / "
+                "(1000.0 * n_docs)) as bigint) as weight_ppm"))
+
+
+LANG_MIX_WEIGHTS_SQL = f"""
+    select lang,
+           cast(n_docs as bigint) as n_docs,
+           cast(({{t}}) as bigint) as target_permille,
+           cast(floor(({{t}}) * total * 1000.0 / (1000.0 * n_docs))
+                as bigint) as weight_ppm
+    from (
+      select coalesce(lang, '') as lang, count(*) as n_docs,
+             sum(count(*)) over () as total
+      from documents group by 1)
+""".format(t="case " + " ".join(
+    f"when lang = '{k}' then {v}" for k, v in _MIX_TARGET.items())
+    + " else 0 end")
+
+
+_PACK_BUDGET = 2048  # tokens per training sequence
+_PACK_STREAMS = 8    # independent packing streams (parallelism unit)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: docs are concatenated into
+    token streams and split at a fixed token budget; each doc is assigned
+    the bin its first token lands in, plus its offset inside that bin
+    (concat-and-chunk packing, the standard pretraining batcher). The
+    corpus packs as ``_PACK_STREAMS`` INDEPENDENT streams keyed by a doc_id
+    hash, so the only shuffle is on the stream key and each stream's
+    running sum is a single window pass — at 100 TB you raise the stream
+    count to O(cores) and the packing stays embarrassingly parallel
+    (bins are stream-local, globally unique as (stream, bin))."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "cast(doc_id as bigint) as doc_id",
+        f"cast(doc_id % {_PACK_STREAMS} as bigint) as stream",
+        f"cast(size({_TOKENS}) as bigint) as n_tokens")
+    w = (Window.partitionBy("stream").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (toks
+            .withColumn("cum", F.sum("n_tokens").over(w))
+            .selectExpr(
+                "stream", "doc_id", "n_tokens",
+                f"cast(floor((cum - n_tokens) / {_PACK_BUDGET}) as bigint)"
+                " as bin",
+                f"cast((cum - n_tokens) % {_PACK_BUDGET} as bigint)"
+                " as bin_offset"))
+
+
+PACK_SEQUENCES_SQL = f"""
+    select stream, doc_id, n_tokens,
+           cast(floor((cum - n_tokens) / {_PACK_BUDGET}) as bigint) as bin,
+           cast((cum - n_tokens) % {_PACK_BUDGET} as bigint) as bin_offset
+    from (
+      select cast(doc_id as bigint) as doc_id,
+             cast(doc_id % {_PACK_STREAMS} as bigint) as stream,
+             cast(len({_TOKENS_DUCK}) as bigint) as n_tokens,
+             sum(cast(len({_TOKENS_DUCK}) as bigint)) over (
+               partition by doc_id % {_PACK_STREAMS} order by doc_id
+               rows between unbounded preceding and current row) as cum
+      from documents)
+"""
+
+
 # --- registry -------------------------------------------------------------------
 
 SQL_OPS = {
@@ -1919,6 +2060,9 @@ SQL_OPS = {
     "dedup_keep_representatives": (dedup_keep_representatives,
                                    DEDUP_KEEP_REPRESENTATIVES_SQL),
     "host_cap": (host_cap, HOST_CAP_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "lang_mix_weights": (lang_mix_weights, LANG_MIX_WEIGHTS_SQL),
+    "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "training_mix": (training_mix, TRAINING_MIX_SQL),
     "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),

@@ -285,6 +285,37 @@ def test_events_range_join_is_bucketed_equijoin(spark):
         or "ShuffledHashJoin" in plan
 
 
+def test_stratified_sample_is_zero_shuffle_pruned_scan(spark):
+    """Hash sampling must stay a pure filter projection: no exchange, no
+    Python, and only (doc_id, lang) leave the scan — at 100 TB this is
+    one pass fused into whatever reads the table next."""
+    from nreadability_spark.spark.ops import stratified_sample
+    plan = plan_of(stratified_sample(spark, SF_DIR))
+    assert node_count(plan, "Exchange") == 0
+    assert "Python" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_pack_sequences_is_single_stream_shuffle(spark):
+    """Sequence packing must shuffle exactly once (the stream key) and
+    scan only (doc_id, text); the running sum is one window pass per
+    independent stream."""
+    from nreadability_spark.spark.ops import pack_sequences
+    plan = plan_of(pack_sequences(spark, SF_DIR))
+    assert node_count(plan, "Exchange") == 1
+    assert "Window" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_lang_mix_weights_aggregates_before_single_partition(spark):
+    """The scalar-total window runs AFTER the per-language aggregation:
+    the single-partition exchange only ever sees #languages rows, never
+    the corpus (map-side partial_count before the first exchange)."""
+    from nreadability_spark.spark.ops import lang_mix_weights
+    plan = plan_of(lang_mix_weights(spark, SF_DIR))
+    assert "partial_count" in plan
+
+
 def test_filter_pushdown_reaches_scan(spark):
     df = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")) \
         .where("o_custkey = 42").select("o_orderkey")
