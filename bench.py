@@ -97,7 +97,8 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "training_mix", "quality_repetition", "pii_redact",
                  "decontaminate", "url_normalize", "events_asof",
                  "events_range_counts", "stratified_sample",
-                 "lang_mix_weights", "pack_sequences"):
+                 "lang_mix_weights", "pack_sequences", "dedup_lines",
+                 "gopher_quality"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

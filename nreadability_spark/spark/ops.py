@@ -2041,6 +2041,157 @@ PACK_SEQUENCES_SQL = f"""
 """
 
 
+# --- cross-document segment dedup (CCNet-style paragraph dedup) ---------------
+
+# Real web corpora segment on '\n' paragraphs; the synthetic documents.text
+# is newline-free, so segments are fixed 3-token chunks — the mechanism
+# (explode -> corpus-frequency count -> prune -> reassemble) is identical.
+_SEG_TOKENS = 3
+_SEG_MIN_DF = 3   # a segment seen in >= this many distinct docs is boilerplate
+
+_SEGS = (f"case when size({_TOKENS}) = 0 then array() else "
+         f"transform(sequence(0, cast(ceil(size({_TOKENS}) / "
+         f"{_SEG_TOKENS}.0) as int) - 1), "
+         f"i -> array_join(slice({_TOKENS}, i * {_SEG_TOKENS} + 1, "
+         f"{_SEG_TOKENS}), ' ')) end")
+_SEGS_DUCK = (f"list_transform(range(0, cast(ceil(len({_TOKENS_DUCK}) / "
+              f"{_SEG_TOKENS}.0) as int)), "
+              f"i -> array_to_string(list_slice({_TOKENS_DUCK}, "
+              f"i * {_SEG_TOKENS} + 1, i * {_SEG_TOKENS} + {_SEG_TOKENS}), "
+              "' '))")
+
+
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment dedup (the CCNet/RefinedWeb boilerplate-line
+    pass): every document is split into segments, segments that occur in
+    >= ``_SEG_MIN_DF`` distinct documents corpus-wide are removed, and each
+    document's text is reassembled from the surviving segments in order.
+    This is the sub-document dedup step that kills cookie banners and nav
+    text exact doc-level dedup can't touch.
+
+    Scale shape: posexplode is narrow; the corpus-frequency aggregate
+    shuffles the (segment-hash, doc_id) pairs once but its OUTPUT — the
+    boilerplate set — is a tiny fraction of the corpus by construction
+    (only segments repeated across >= _SEG_MIN_DF docs survive the HAVING),
+    so it broadcasts back onto the exploded table (no second shuffle of
+    the big side); the per-doc reassembly is one doc_id shuffle. At 100 TB
+    the frequency agg is the cost center and is exactly the hash-groupBy
+    dedup_exact already proves out.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    segs = (docs
+            .selectExpr("cast(doc_id as bigint) as doc_id",
+                        f"{_SEGS} as segs")
+            .select("doc_id", F.posexplode("segs").alias("pos", "seg")))
+    h = _H60.format(col="seg")
+    segs = segs.withColumn("h", F.expr(h))
+    freq = (segs.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where(F.col("df") >= _SEG_MIN_DF))
+    kept = (segs.join(F.broadcast(freq), "h", "left")
+            .withColumn("keep", F.col("df").isNull()))
+    return (kept.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_segs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                 F.expr("array_join(transform(filter(array_sort("
+                        "collect_list(struct(pos, seg, keep))), "
+                        "x -> x.keep), x -> x.seg), ' ')")
+                 .alias("text_clean")))
+
+
+DEDUP_LINES_SQL = f"""
+    with segs as (
+      select doc_id, u.pos as pos, u.seg as seg,
+             {_H60_DUCK.format(col='u.seg')} as h
+      from (
+        select cast(doc_id as bigint) as doc_id,
+               unnest(list_transform(range(0, len({_SEGS_DUCK})),
+                 i -> struct_pack(pos := i,
+                                  seg := ({_SEGS_DUCK})[i + 1]))) as u
+        from documents)),
+    freq as (
+      select h from segs group by h
+      having count(distinct doc_id) >= {_SEG_MIN_DF})
+    select s.doc_id,
+           cast(count(*) as bigint) as n_segs,
+           cast(sum(case when f.h is null then 1 else 0 end) as bigint)
+             as n_kept,
+           coalesce(string_agg(case when f.h is null then s.seg end, ' '
+                               order by s.pos), '') as text_clean
+    from segs s left join freq f on s.h = f.h
+    group by s.doc_id
+"""
+
+
+# --- Gopher-style rule-based quality filter ------------------------------------
+
+# MassiveText/Gopher repetition-and-shape rules, integer/scaled so both
+# engines agree exactly. Bounds follow the published filter (50..100k
+# words, mean word length 3..10, >=80% alphabetic tokens, >=2 stopwords);
+# the line-level bullet/ellipsis rules need newline structure the
+# synthetic table lacks and are covered by quality_repetition instead.
+_GOPHER_MIN_TOKENS = 50
+_GOPHER_MAX_TOKENS = 100_000
+_GOPHER_STOPWORDS = ("the", "a", "an", "and", "or", "that", "for", "with")
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText rule-based quality filter: per-doc shape metrics
+    (token count, mean word length, alphabetic-token fraction, stopword
+    hits) plus the pass/fail verdict of the composed rules. Zero-shuffle:
+    a pure projection over the scan — the filter costs one pass at any
+    corpus size and fuses with whatever reads the table next."""
+    docs = _read(spark, sf_dir, "documents")
+    stop_arr = "array(" + ", ".join(
+        f"'{w}'" for w in _GOPHER_STOPWORDS) + ")"
+    n = f"size({_TOKENS})"
+    return docs.selectExpr(
+        "cast(doc_id as bigint) as doc_id",
+        f"cast({n} as bigint) as n_tokens",
+        # floor(1000 * total_token_chars / n): mean word length in milli
+        f"cast(case when {n} = 0 then 0 else floor(aggregate({_TOKENS}, "
+        f"0L, (acc, x) -> acc + length(x)) * 1000.0 / {n}) end as bigint) "
+        "as mean_word_len_milli",
+        f"cast(case when {n} = 0 then 0 else floor(size(filter({_TOKENS}, "
+        f"x -> x rlike '[a-z]')) * 1000.0 / {n}) end as bigint) "
+        "as alpha_frac_milli",
+        f"cast(size(array_intersect(array_distinct({_TOKENS}), "
+        f"{stop_arr})) as bigint) as stopword_hits",
+    ).selectExpr(
+        "doc_id", "n_tokens", "mean_word_len_milli", "alpha_frac_milli",
+        "stopword_hits",
+        f"(n_tokens >= {_GOPHER_MIN_TOKENS} "
+        f"and n_tokens <= {_GOPHER_MAX_TOKENS} "
+        "and mean_word_len_milli >= 3000 and mean_word_len_milli <= 10000 "
+        "and alpha_frac_milli >= 800 and stopword_hits >= 2) as passes")
+
+
+GOPHER_QUALITY_SQL = f"""
+    select doc_id, n_tokens, mean_word_len_milli, alpha_frac_milli,
+           stopword_hits,
+           (n_tokens >= {_GOPHER_MIN_TOKENS}
+            and n_tokens <= {_GOPHER_MAX_TOKENS}
+            and mean_word_len_milli >= 3000
+            and mean_word_len_milli <= 10000
+            and alpha_frac_milli >= 800 and stopword_hits >= 2) as passes
+    from (
+      select cast(doc_id as bigint) as doc_id,
+             cast(len({_TOKENS_DUCK}) as bigint) as n_tokens,
+             cast(case when len({_TOKENS_DUCK}) = 0 then 0 else
+               floor(list_sum(list_transform({_TOKENS_DUCK},
+                 x -> length(x))) * 1000.0 / len({_TOKENS_DUCK})) end
+               as bigint) as mean_word_len_milli,
+             cast(case when len({_TOKENS_DUCK}) = 0 then 0 else
+               floor(len(list_filter({_TOKENS_DUCK},
+                 x -> regexp_matches(x, '[a-z]'))) * 1000.0 /
+                 len({_TOKENS_DUCK})) end as bigint) as alpha_frac_milli,
+             cast(len(list_intersect(list_distinct({_TOKENS_DUCK}),
+               [{", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)}]))
+               as bigint) as stopword_hits
+      from documents)
+"""
+
+
 # --- registry -------------------------------------------------------------------
 
 SQL_OPS = {
@@ -2060,6 +2211,8 @@ SQL_OPS = {
     "dedup_keep_representatives": (dedup_keep_representatives,
                                    DEDUP_KEEP_REPRESENTATIVES_SQL),
     "host_cap": (host_cap, HOST_CAP_SQL),
+    "dedup_lines": (dedup_lines, DEDUP_LINES_SQL),
+    "gopher_quality": (gopher_quality, GOPHER_QUALITY_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "lang_mix_weights": (lang_mix_weights, LANG_MIX_WEIGHTS_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),

@@ -78,6 +78,32 @@ def test_op_parity(spark, duck, name):
         f"{mismatches[:3]}")
 
 
+def test_dedup_lines_removes_boilerplate(spark):
+    """The segment-dedup pass must actually discriminate: some segments
+    removed (the corpus repeats 3-token runs across docs by construction),
+    most kept, and reassembled text length consistent with the kept
+    count."""
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.ops import dedup_lines
+    agg = dedup_lines(spark, SF_DIR).agg(
+        F.sum("n_segs").alias("segs"), F.sum("n_kept").alias("kept"),
+        F.sum((F.col("n_kept") > F.col("n_segs")).cast("int")).alias("bad"))
+    row = agg.collect()[0]
+    assert row["bad"] == 0
+    assert 0 < row["kept"] < row["segs"]
+
+
+def test_gopher_quality_discriminates(spark):
+    """The rule filter must pass some docs and fail others on the
+    synthetic corpus (all-pass or all-fail would mean dead rules)."""
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.ops import gopher_quality
+    row = gopher_quality(spark, SF_DIR).agg(
+        F.sum(F.col("passes").cast("int")).alias("p"),
+        F.count("*").alias("n")).collect()[0]
+    assert 0 < row["p"] < row["n"]
+
+
 def test_ops_nonempty(spark):
     """Guard against trivially-empty results hiding broken ops."""
     must_be_nonempty = ["pages_by_host", "dedup_exact", "token_counts",

@@ -316,6 +316,32 @@ def test_lang_mix_weights_aggregates_before_single_partition(spark):
     assert "partial_count" in plan
 
 
+def test_dedup_lines_broadcasts_boilerplate_set(spark):
+    """The corpus-frequency ("boilerplate") set must come back to the
+    exploded segment table as a BROADCAST join — the big exploded side
+    reaches the join with zero exchanges of its own; the only big-side
+    shuffle is the final per-doc reassembly. Only (doc_id, text) leave
+    the scan."""
+    from nreadability_spark.spark.ops import dedup_lines
+    plan = plan_of(dedup_lines(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # 2 exchanges inside the distinct-doc-count agg (tiny output) + 1
+    # doc_id reassembly = 3; the exploded big side itself never shuffles
+    # before the join
+    assert node_count(plan, "Exchange") <= 3
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_gopher_quality_is_zero_shuffle_projection(spark):
+    """The rule filter must stay a pure scan-fused projection: no
+    exchange, no Python — one pass at any corpus size."""
+    from nreadability_spark.spark.ops import gopher_quality
+    plan = plan_of(gopher_quality(spark, SF_DIR))
+    assert node_count(plan, "Exchange") == 0
+    assert "Python" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
 def test_filter_pushdown_reaches_scan(spark):
     df = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")) \
         .where("o_custkey = 42").select("o_orderkey")
