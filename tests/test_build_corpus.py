@@ -1,0 +1,81 @@
+"""End-to-end corpus-build funnel (jobs/build_corpus.py): extraction ->
+staging -> language ID -> dedup representatives -> quality filter ->
+stratified sample -> sequence packing, all chained through the ops'
+documents.parquet directory contract. Asserts funnel monotonicity and
+the packing invariants a training loader relies on."""
+
+import os
+import sys
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from nreadability_spark.spark.session import get_spark
+    s = get_spark("build-corpus-tests", master="local[4]",
+                  shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def summary_and_dir(spark, tmp_path_factory):
+    from nreadability_spark.spark.pages import synthesize_pages
+    from build_corpus import build_corpus
+    out = str(tmp_path_factory.mktemp("corpus_out"))
+    pages = synthesize_pages(spark, SF_DIR)
+    return build_corpus(spark, pages, out), out
+
+
+def test_funnel_monotonic(summary_and_dir):
+    s, _ = summary_and_dir
+    assert s["extracted"] <= s["pages"]
+    assert s["extracted"] > 0
+    # each gate only removes docs; the intersection is at most the
+    # smallest gate
+    assert s["final_docs"] <= min(s["after_dedup"], s["after_quality"],
+                                  s["after_sample"])
+    assert 0 < s["final_docs"] < s["extracted"]
+    assert s["packed_docs"] == s["final_docs"]
+
+
+def test_staged_layout_and_lang(summary_and_dir, spark):
+    _, out = summary_and_dir
+    corpus = spark.read.parquet(
+        os.path.join(out, "corpus", "documents.parquet"))
+    assert set(corpus.columns) == {"doc_id", "text", "lang", "source",
+                                   "n_chars"}
+    langs = {r["lang"] for r in corpus.select("lang").distinct().collect()}
+    assert langs <= {"en", "es", "de", "fr"} and langs
+
+
+def test_packing_invariants(summary_and_dir, spark):
+    from pyspark.sql import functions as F
+    _, out = summary_and_dir
+    packed = spark.read.parquet(os.path.join(out, "packed.parquet"))
+    row = packed.agg(
+        F.min("bin_offset").alias("min_off"),
+        F.max("bin_offset").alias("max_off"),
+        F.min("n_tokens").alias("min_tok"),
+        F.min("bin").alias("min_bin")).collect()[0]
+    # offsets live inside the fixed budget; every packed doc is non-empty
+    from nreadability_spark.spark.ops import _PACK_BUDGET
+    assert 0 <= row["min_off"] and row["max_off"] < _PACK_BUDGET
+    assert row["min_tok"] > 0 and row["min_bin"] == 0
+    # within every stream the concat-and-chunk stream has no holes: the
+    # highest start-bin lies inside the stream's total token span (a doc
+    # longer than the budget spans bins no later doc STARTS in, so
+    # distinct start-bins may legitimately be fewer than maxbin+1)
+    per_stream = (packed.groupBy("stream")
+                  .agg(F.sum("n_tokens").alias("total"),
+                       F.max("bin").alias("maxbin")).collect())
+    for r in per_stream:
+        assert r["maxbin"] * _PACK_BUDGET <= r["total"] - 1
