@@ -152,12 +152,19 @@ DEDUP_EXACT_SQL = f"""
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokens hoisted into their own projection: Catalyst's CollapseProject
+    # keeps a non-cheap alias used more than once as a separate Project,
+    # so the (interpreted, no-CSE) higher-order split runs ONCE per row
+    # instead of once per referencing expression — measured ~35% on
+    # quality_score, and the gap grows with document length
     docs = _read(spark, sf_dir, "documents")
-    return docs.selectExpr(
-        "cast(doc_id as bigint) as doc_id",
-        f"cast(size({_TOKENS}) as bigint) as n_tokens",
-        f"cast(size(array_distinct({_TOKENS})) as bigint) as n_distinct",
-        f"cast(aggregate({_TOKENS}, 0L, (acc, x) -> acc + length(x)) "
+    t = docs.selectExpr("cast(doc_id as bigint) as doc_id",
+                        f"{_TOKENS} as t")
+    return t.selectExpr(
+        "doc_id",
+        "cast(size(t) as bigint) as n_tokens",
+        "cast(size(array_distinct(t)) as bigint) as n_distinct",
+        "cast(aggregate(t, 0L, (acc, x) -> acc + length(x)) "
         "as bigint) as total_token_chars",
     )
 
@@ -187,24 +194,30 @@ _BPE_OTHER = f" ?[^a-z0-9{_BPE_WS}]+"
 def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text is coalesced to '' on BOTH engines: Spark's aggregate() yields
     # NULL on NULL input while DuckDB's list_sum coalesces to 0 — without
-    # the wrap the two sides disagree on NULL rows
+    # the wrap the two sides disagree on NULL rows.
+    # `low` and the main-pattern extraction are hoisted into their own
+    # projections (see token_counts): lower() would otherwise run 5x and
+    # the _BPE_PAT regexp_extract_all 2x per row
     docs = _read(spark, sf_dir, "documents")
-    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    low = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("low"))
+    toks = low.select(
+        "doc_id", "low",
+        F.regexp_extract_all("low", F.lit(_BPE_PAT), F.lit(0)).alias("bpe"))
 
     def n(pat):
-        return F.size(F.regexp_extract_all(low, F.lit(pat), 0)) \
+        return F.size(F.regexp_extract_all("low", F.lit(pat), F.lit(0))) \
             .cast("long")
 
-    return docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        n(_BPE_PAT).alias("n_bpe_tokens"),
+    return toks.select(
+        "doc_id",
+        F.size("bpe").cast("long").alias("n_bpe_tokens"),
         n(_BPE_WORD).alias("n_word_tokens"),
         n(_BPE_NUM).alias("n_num_tokens"),
         n(_BPE_OTHER).alias("n_other_tokens"),
-        F.expr("cast(aggregate(regexp_extract_all(lower(coalesce(text, '')), "
-               f"' ?[a-z]+| ?[0-9]+| ?[^a-z0-9{_BPE_WS}]+', 0), 0L, "
-               "(acc, t) -> acc + length(t)) as bigint)")
-        .alias("bpe_token_chars"),
+        F.expr("cast(aggregate(bpe, 0L, (acc, t) -> acc + length(t)) "
+               "as bigint)").alias("bpe_token_chars"),
     )
 
 
@@ -292,18 +305,21 @@ LANG_ID_SQL = _lang_sql("duckdb")
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokens hoisted once (see token_counts for the CollapseProject note)
     docs = _read(spark, sf_dir, "documents")
-    return docs.selectExpr(
-        "cast(doc_id as bigint) as doc_id",
+    t = docs.selectExpr("cast(doc_id as bigint) as doc_id", "text",
+                        f"{_TOKENS} as t")
+    return t.selectExpr(
+        "doc_id",
         "cast(length(text) as bigint) as n_chars_measured",
-        f"cast(size({_TOKENS}) as bigint) as n_tokens",
+        "cast(size(t) as bigint) as n_tokens",
         "cast(length(regexp_replace(text, '[^.,;:!?]', '')) as bigint) "
         "as n_punct",
         # scaled-integer ratios: floor((a * 1000) / b) is exact both sides
-        f"cast(floor(size({_TOKENS}) * 1000.0 / (length(text) + 1)) "
+        "cast(floor(size(t) * 1000.0 / (length(text) + 1)) "
         "as bigint) as tokens_per_kchar",
-        f"cast(floor(size(array_distinct({_TOKENS})) * 1000.0 / "
-        f"(size({_TOKENS}) + 1)) as bigint) as distinct_ratio_milli",
+        "cast(floor(size(array_distinct(t)) * 1000.0 / "
+        "(size(t) + 1)) as bigint) as distinct_ratio_milli",
     )
 
 
@@ -2049,10 +2065,12 @@ PACK_SEQUENCES_SQL = f"""
 _SEG_TOKENS = 3
 _SEG_MIN_DF = 3   # a segment seen in >= this many distinct docs is boilerplate
 
-_SEGS = (f"case when size({_TOKENS}) = 0 then array() else "
-         f"transform(sequence(0, cast(ceil(size({_TOKENS}) / "
+# over a pre-hoisted token array `t` (see token_counts: the split must
+# not be re-evaluated per reference)
+_SEGS = (f"case when size(t) = 0 then array() else "
+         f"transform(sequence(0, cast(ceil(size(t) / "
          f"{_SEG_TOKENS}.0) as int) - 1), "
-         f"i -> array_join(slice({_TOKENS}, i * {_SEG_TOKENS} + 1, "
+         f"i -> array_join(slice(t, i * {_SEG_TOKENS} + 1, "
          f"{_SEG_TOKENS}), ' ')) end")
 _SEGS_DUCK = (f"list_transform(range(0, cast(ceil(len({_TOKENS_DUCK}) / "
               f"{_SEG_TOKENS}.0) as int)), "
@@ -2088,7 +2106,8 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 2.6x on the sf0.1 corpus, 10.7 s -> 4.0 s).
     segs = (docs
             .selectExpr("cast(doc_id as bigint) as doc_id",
-                        f"{_SEGS} as segs")
+                        f"{_TOKENS} as t")
+            .selectExpr("doc_id", f"{_SEGS} as segs")
             .select("doc_id",
                     F.posexplode_outer("segs").alias("pos", "seg"))
             .where("seg is not null"))
@@ -2153,18 +2172,21 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     stop_arr = "array(" + ", ".join(
         f"'{w}'" for w in _GOPHER_STOPWORDS) + ")"
-    n = f"size({_TOKENS})"
-    return docs.selectExpr(
-        "cast(doc_id as bigint) as doc_id",
+    # tokens hoisted once (see token_counts for the CollapseProject note)
+    t = docs.selectExpr("cast(doc_id as bigint) as doc_id",
+                        f"{_TOKENS} as t")
+    n = "size(t)"
+    return t.selectExpr(
+        "doc_id",
         f"cast({n} as bigint) as n_tokens",
         # floor(1000 * total_token_chars / n): mean word length in milli
-        f"cast(case when {n} = 0 then 0 else floor(aggregate({_TOKENS}, "
+        f"cast(case when {n} = 0 then 0 else floor(aggregate(t, "
         f"0L, (acc, x) -> acc + length(x)) * 1000.0 / {n}) end as bigint) "
         "as mean_word_len_milli",
-        f"cast(case when {n} = 0 then 0 else floor(size(filter({_TOKENS}, "
+        f"cast(case when {n} = 0 then 0 else floor(size(filter(t, "
         f"x -> x rlike '[a-z]')) * 1000.0 / {n}) end as bigint) "
         "as alpha_frac_milli",
-        f"cast(size(array_intersect(array_distinct({_TOKENS}), "
+        f"cast(size(array_intersect(array_distinct(t), "
         f"{stop_arr})) as bigint) as stopword_hits",
     ).selectExpr(
         "doc_id", "n_tokens", "mean_word_len_milli", "alpha_frac_milli",

@@ -350,6 +350,27 @@ def test_gopher_quality_is_zero_shuffle_projection(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
+def test_token_split_evaluated_once_per_branch(spark):
+    """Interpreted higher-order expressions get no common-subexpression
+    elimination: every textual occurrence of the tokenization split in
+    the plan is a full per-row re-parse. The token ops hoist the split
+    into its own projection (CollapseProject keeps a non-cheap alias
+    referenced more than once), so each plan carries exactly one split
+    per corpus branch."""
+    from nreadability_spark.spark import ops
+    expected = {"token_counts": 1, "quality_score": 1,
+                "gopher_quality": 1, "token_counts_bpe": 0,
+                "dedup_lines": 2}  # dedup_lines: freq branch + big branch
+    for name, n in expected.items():
+        fn, _sql = ops.SQL_OPS[name]
+        plan = plan_of(fn(spark, SF_DIR))
+        assert plan.count("split(lower") == n, name
+        # token_counts_bpe tokenizes via regexp_extract_all; its lower()
+        # and main-pattern extraction must also be single-evaluation
+        if name == "token_counts_bpe":
+            assert plan.count("lower(") == 1
+
+
 def test_filter_pushdown_reaches_scan(spark):
     df = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")) \
         .where("o_custkey = 42").select("o_orderkey")
