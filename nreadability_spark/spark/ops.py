@@ -349,10 +349,14 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     single scan+project stage at any corpus size (the exploded-token
     variant shuffled ~2k rows per document)."""
     corpus = _corpus(spark, sf_dir)
-    base = corpus.selectExpr(
+    # the non-empty guard runs BEFORE the projection as a cheap regex
+    # (>=1 non-whitespace char <=> >=1 token, same Java \s class as the
+    # split): a `where(size(th) > 0)` AFTER the projection gets pushed
+    # down with the whole transform+split substituted into the Filter,
+    # re-tokenizing every row a second time
+    base = corpus.where(r"text rlike '\\S'").selectExpr(
         "doc_id",
-        f"transform({_TOKENS}, t -> {_H60.format(col='t')}) as th"
-    ).where("size(th) > 0")
+        f"transform({_TOKENS}, t -> {_H60.format(col='t')}) as th")
     bit_aggs = [
         f"aggregate(th, 0L, (acc, h) -> acc + (case when (h & {1 << b}) != 0"
         f" then 1 else -1 end)) as b{b}"
@@ -568,13 +572,20 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # toks[i] inside a higher-order-function lambda would otherwise
     # re-evaluate the whole split/filter chain per element (3x per
     # shingle — measured ~7x slower)
-    base = corpus.selectExpr("doc_id", f"{_TOKENS} as toks").selectExpr(
+    # the >=1-shingle guard (<=> >=3 tokens) runs BEFORE the projections
+    # as a cheap regex — three non-whitespace runs separated by
+    # whitespace, the same Java \s class the split uses. A
+    # `where(size(sha) > 0)` AFTER the stack gets pushed down with the
+    # whole shingle chain substituted into the Filter (7 extra split
+    # evaluations per input row)
+    base = corpus.where(
+        r"text rlike '\\S+\\s+\\S+\\s+\\S'"
+    ).selectExpr("doc_id", f"{_TOKENS} as toks").selectExpr(
         "doc_id", f"{_SHINGLES_OF_TOKS} as sh_arr"
     ).selectExpr(
         "doc_id",
         f"transform(sh_arr, s -> {_H60.format(col='s')} "
-        f"% {_SHINGLE_MOD}) as sha"
-    ).where("size(sha) > 0")
+        f"% {_SHINGLE_MOD}) as sha")
     mins = [
         f"cast(array_min(transform(sha, x -> (x * {2 * i + 3} + {7 * i + 1})"
         f" % {_MINHASH_MOD})) as bigint) as m{i}"

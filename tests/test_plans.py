@@ -360,7 +360,11 @@ def test_token_split_evaluated_once_per_branch(spark):
     from nreadability_spark.spark import ops
     expected = {"token_counts": 1, "quality_score": 1,
                 "gopher_quality": 1, "token_counts_bpe": 0,
-                "dedup_lines": 2}  # dedup_lines: freq branch + big branch
+                "dedup_lines": 2,  # freq branch + big branch
+                # the sketch corpus is a 3-branch union; the non-empty
+                # guards are cheap text regexes BEFORE the projection, so
+                # exactly one tokenization survives per branch
+                "simhash": 3, "minhash_signatures": 3}
     for name, n in expected.items():
         fn, _sql = ops.SQL_OPS[name]
         plan = plan_of(fn(spark, SF_DIR))
