@@ -66,13 +66,27 @@ CORPUS_SQL = f"""
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-demo corpus: every doc, plus a near-dup (tail appended) for
+    doc_id % 7 == 0 and an exact dup for doc_id % 13 == 0. Built as a
+    SINGLE scan with a per-row variant explode — the equivalent 3-branch
+    union reads (and decodes) the documents table three times, which
+    also triples every downstream per-branch expression in the sketch
+    plans. The DuckDB twin (CORPUS_SQL) keeps the union form; parity
+    tests pin the equivalence."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    near = (docs.where(F.col("doc_id") % 7 == 0)
-            .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                    F.concat(F.col("text"), F.lit(_DUP_TAIL)).alias("text")))
-    exact = (docs.where(F.col("doc_id") % 13 == 0)
-             .select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
-    return docs.unionByName(near).unionByName(exact)
+    variants = (
+        "concat("
+        "array(struct(doc_id, text)), "
+        "case when doc_id % 7 = 0 then array(struct("
+        f"doc_id + 1000000 as doc_id, concat(text, '{_DUP_TAIL}') as text))"
+        " else array() end, "
+        "case when doc_id % 13 = 0 then array(struct("
+        "doc_id + 2000000 as doc_id, text)) else array() end)")
+    # explode_outer: the array always has >=1 element, and the outer form
+    # keeps Catalyst from injecting a non-empty filter that would
+    # re-evaluate the variant construction per row (see dedup_lines)
+    return (docs.selectExpr(f"explode_outer({variants}) as v")
+            .selectExpr("v.doc_id as doc_id", "v.text as text"))
 
 
 _TOKENS = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"

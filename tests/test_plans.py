@@ -361,10 +361,11 @@ def test_token_split_evaluated_once_per_branch(spark):
     expected = {"token_counts": 1, "quality_score": 1,
                 "gopher_quality": 1, "token_counts_bpe": 0,
                 "dedup_lines": 2,  # freq branch + big branch
-                # the sketch corpus is a 3-branch union; the non-empty
-                # guards are cheap text regexes BEFORE the projection, so
-                # exactly one tokenization survives per branch
-                "simhash": 3, "minhash_signatures": 3}
+                # the sketch corpus is a SINGLE-scan variant explode (not
+                # a 3-branch union), and the non-empty guards are cheap
+                # text regexes BEFORE the projection: one tokenization
+                # total per plan
+                "simhash": 1, "minhash_signatures": 1}
     for name, n in expected.items():
         fn, _sql = ops.SQL_OPS[name]
         plan = plan_of(fn(spark, SF_DIR))
