@@ -149,6 +149,11 @@ def expand_entities(s: str) -> str:
 _ATTR_NAME_END = set(" \t\n\r\f=/><'\"")
 _TAG_NAME_END = set(" \t\n\r\f/><")
 
+# attribute-less start tag: name chars are the complement of
+# _TAG_NAME_END ('\r' is already normalized to '\n' by the tokenizer);
+# whitespace then an optional IMMEDIATE '/' before '>'
+_SIMPLE_START_RE = re.compile(r"<([^ \t\n\f/><]+)[ \t\n\f]*(/?)>")
+
 _ATTR_NAME_RE = re.compile(r"(?:[^\W\d]|:)[\w.:\-]*\Z")
 
 
@@ -342,6 +347,21 @@ class _Tokenizer:
 
     def _start_tag(self):
         s, n = self.s, self.n
+        # fast path for the dominant attribute-less shape `<name>` /
+        # `<name />`: one regex match instead of the per-character attr
+        # loop. The pattern mirrors the loop exactly — name runs to the
+        # first _TAG_NAME_END char, optional whitespace, optional '/'
+        # DIRECTLY before '>' (the loop treats `/ >` as NOT self-closed,
+        # and that shape fails this match) — anything else falls through
+        # to the full scanner below.
+        m = _SIMPLE_START_RE.match(s, self.i)
+        if m is not None:
+            name = m.group(1)
+            if not name.islower():
+                name = name.lower()
+            self.i = m.end()
+            yield from self._finish_start(name, None, bool(m.group(2)))
+            return
         j = self.i + 1
         k = j
         while k < n and s[k] not in _TAG_NAME_END:
@@ -421,6 +441,9 @@ class _Tokenizer:
         else:
             i = n
         self.i = i
+        yield from self._finish_start(name, attrs, self_closed)
+
+    def _finish_start(self, name, attrs, self_closed):
         if not _valid_tag_name(name):
             # P13: invalid element name re-emitted as text
             yield ("text", "<" + name + ">")
