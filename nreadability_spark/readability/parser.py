@@ -149,10 +149,18 @@ def expand_entities(s: str) -> str:
 _ATTR_NAME_END = set(" \t\n\r\f=/><'\"")
 _TAG_NAME_END = set(" \t\n\r\f/><")
 
-# attribute-less start tag: name chars are the complement of
-# _TAG_NAME_END ('\r' is already normalized to '\n' by the tokenizer);
-# whitespace then an optional IMMEDIATE '/' before '>'
-_SIMPLE_START_RE = re.compile(r"<([^ \t\n\f/><]+)[ \t\n\f]*(/?)>")
+# clean start tag: name chars are the complement of _TAG_NAME_END
+# ('\r' is already normalized to '\n' by the tokenizer), zero or more
+# `name="value"` attributes whose names are ASCII identifiers (always
+# valid per _ATTR_NAME_RE) with no whitespace around '=', whitespace,
+# then an optional IMMEDIATE '/' before '>'. Anything outside this
+# shape (junk tokens, unquoted/single-quoted values, ws around '=',
+# exotic names) falls back to the character scanner.
+_CLEAN_START_RE = re.compile(
+    r"<([^ \t\n\f/><]+)"
+    r"((?:[ \t\n\f]+[A-Za-z][A-Za-z0-9_.:\-]*=\"[^\"]*\")*)"
+    r"[ \t\n\f]*(/?)>")
+_CLEAN_ATTR_RE = re.compile(r"([A-Za-z][A-Za-z0-9_.:\-]*)=\"([^\"]*)\"")
 
 _ATTR_NAME_RE = re.compile(r"(?:[^\W\d]|:)[\w.:\-]*\Z")
 
@@ -347,20 +355,33 @@ class _Tokenizer:
 
     def _start_tag(self):
         s, n = self.s, self.n
-        # fast path for the dominant attribute-less shape `<name>` /
-        # `<name />`: one regex match instead of the per-character attr
-        # loop. The pattern mirrors the loop exactly — name runs to the
-        # first _TAG_NAME_END char, optional whitespace, optional '/'
-        # DIRECTLY before '>' (the loop treats `/ >` as NOT self-closed,
-        # and that shape fails this match) — anything else falls through
-        # to the full scanner below.
-        m = _SIMPLE_START_RE.match(s, self.i)
+        # fast path for the dominant clean shapes `<name>`, `<name k="v"
+        # k2="v2">`, `<name />`: one regex match instead of the
+        # per-character attribute scanner. The pattern mirrors the loop
+        # exactly for the shapes it accepts (names stop at the same char
+        # sets, first duplicate attribute wins, entity expansion only
+        # when '&' present, '/' must sit DIRECTLY before '>' — the loop
+        # treats `/ >` as NOT self-closed and that shape fails this
+        # match); anything else falls through to the full scanner below.
+        m = _CLEAN_START_RE.match(s, self.i)
         if m is not None:
             name = m.group(1)
             if not name.islower():
                 name = name.lower()
+            attrs = None
+            blob = m.group(2)
+            if blob:
+                attrs = {}
+                for am in _CLEAN_ATTR_RE.finditer(blob):
+                    aname = am.group(1)
+                    if not aname.islower():
+                        aname = aname.lower()
+                    if aname not in attrs:
+                        value = am.group(2)
+                        attrs[aname] = expand_entities(value) \
+                            if "&" in value else value
             self.i = m.end()
-            yield from self._finish_start(name, None, bool(m.group(2)))
+            yield from self._finish_start(name, attrs, bool(m.group(3)))
             return
         j = self.i + 1
         k = j
