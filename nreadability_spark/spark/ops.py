@@ -991,6 +991,39 @@ def _ivf_scores(vec: str, dialect: str, n_cells: int) -> str:
     return "[" + ", ".join(entries) + "]"
 
 
+def _assign_cells_arrow(cands: DataFrame, n_cells: int) -> DataFrame:
+    """Nearest-centroid assignment for the (big) candidate side as ONE
+    vectorized numpy pass over Arrow batches: cell = argmax(2·X·Cᵀ −
+    |C|²) for the whole batch at once. The expression form builds an
+    n_cells-entry struct array per row (n_cells × dim interpreted
+    multiply-adds); dense integer linear algebra is exactly the case
+    where an Arrow-batched kernel beats Catalyst expressions. Integer
+    math is exact (int64, |dot| ≤ dim·1000² ≪ 2⁶³) and numpy argmax
+    breaks ties toward the smaller cell id — identical to the struct-max
+    tie-break in the expression/oracle form. Query-side probes stay
+    expression-based (a handful of rows)."""
+    import numpy as np
+    import pyarrow as pa
+    C = np.array([[_ivf_centroid(j, i) for i in range(_IVF_DIM)]
+                  for j in range(n_cells)], dtype=np.int64)
+    affine = 2 * C.T  # (dim, n_cells)
+    norms = (C * C).sum(axis=1)
+
+    def assign(batches):
+        for b in batches:
+            ids = b.column("cand_id")
+            cv = b.column("cv")
+            flat = cv.flatten().to_numpy(zero_copy_only=False)
+            x = flat.reshape(len(cv), _IVF_DIM)
+            cell = np.argmax(x @ affine - norms, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [ids, cv, pa.array(cell, type=pa.int32())],
+                names=["cand_id", "cv", "cell"])
+
+    return cands.mapInArrow(assign, "cand_id bigint, cv array<bigint>, "
+                                    "cell int")
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str,
                  n_cells: int = _N_CELLS,
                  n_probe: int = _N_PROBE) -> DataFrame:
@@ -1004,11 +1037,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str,
     scale store the candidate table partitioned by cell so probing prunes
     partitions instead of shuffling."""
     emb = _read(spark, sf_dir, "embeddings")
-    c = emb.where(F.col("vec_id") >= _N_QUERIES).selectExpr(
-        "vec_id as cand_id", f"{_QVEC} as cv"
-    ).selectExpr(
-        "cand_id", "cv",
-        f"-array_max({_ivf_scores('cv', 'spark', n_cells)}).nj as cell")
+    c = _assign_cells_arrow(
+        emb.where(F.col("vec_id") >= _N_QUERIES).selectExpr(
+            "vec_id as cand_id", f"{_QVEC} as cv"), n_cells)
     q = emb.where(F.col("vec_id") < _N_QUERIES).selectExpr(
         "vec_id as query_id", f"{_QVEC} as qv"
     ).selectExpr(
