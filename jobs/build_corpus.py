@@ -86,7 +86,12 @@ def build_corpus(spark, pages, out_dir: str) -> dict:
     # 4. the funnel: near-dup representatives ∩ quality ∩ sample.
     # Each leg is an oracle-checked operator reading corpus_dir; the
     # composition is three left-semi joins (the training_mix shape).
-    reps = ops.dedup_keep_representatives(spark, corpus_dir) \
+    # demo_dups=False: dedup the extracted corpus AS-IS — the driver
+    # demos inject synthetic near/exact dups, which a production funnel
+    # must not (after_dedup would count clusters of fabricated variants,
+    # and an injected doc_id could collide with a real one at scale).
+    reps = ops.dedup_keep_representatives(spark, corpus_dir,
+                                          demo_dups=False) \
         .select("doc_id")
     quality = ops.gopher_quality(spark, corpus_dir) \
         .where("passes").select("doc_id")

@@ -312,9 +312,14 @@ def _inner_html_has_div_to_p(element: Element) -> bool:
         elif isinstance(n, Comment):
             if RX_DIV_TO_P.search(n.value):
                 return True
-        else:  # ProcessingInstruction: raw data is written unescaped
+        else:  # ProcessingInstruction: serialized as '<?{target} {data}?>'
+            # with BOTH parts raw — a tag-soup PI target can itself
+            # contain '<' (e.g. '<?x<a y?>'), so scan the full serialized
+            # payload, not just data ('<?' itself can never match: the
+            # regex needs a letter after '<')
             data = getattr(n, "data", "")
-            if data and RX_DIV_TO_P.search(data):
+            target = getattr(n, "target", "")
+            if RX_DIV_TO_P.search(f"{target} {data}"):
                 return True
     return False
 

@@ -574,14 +574,21 @@ _SHINGLES_DUCK = ("case when len({t}) >= 3 then list_transform(range(1, len({t})
                   "else [] end").format(t=_TOKENS_DUCK)
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(spark: SparkSession, sf_dir: str,
+                       demo_dups: bool = True) -> DataFrame:
     """MinHash as a shuffle-free array projection: hash every shingle once
     into a per-row array, then take 16 permuted ``array_min``s — no
     explode, no groupBy. The exploded variant shuffled one row per
     (doc, shingle) — the engine's biggest shuffle; this is a single
     scan+project stage at any corpus size. min() is insensitive to
-    duplicate shingles, so no distinct is needed either."""
-    corpus = _corpus(spark, sf_dir)
+    duplicate shingles, so no distinct is needed either.
+
+    ``demo_dups=False`` reads ``documents`` as-is instead of the
+    dup-injected demo corpus — the shape production callers
+    (jobs/build_corpus.py) want; the driver oracle pins the default."""
+    corpus = (_corpus(spark, sf_dir) if demo_dups
+              else _read(spark, sf_dir, "documents")
+              .select("doc_id", "text"))
     # tokens are hoisted into a real column before the shingle lambda:
     # toks[i] inside a higher-order-function lambda would otherwise
     # re-evaluate the whole split/filter chain per element (3x per
@@ -627,9 +634,10 @@ def _minhash_sql_duck() -> str:
 MINHASH_SIGNATURES_SQL = _minhash_sql_duck()
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
+                      demo_dups: bool = True) -> DataFrame:
     """LSH candidate pairs: 4 bands x 4 rows over the minhash signature."""
-    sig = minhash_signatures(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir, demo_dups=demo_dups)
     band_exprs = []
     for band in range(4):
         cols = ", ".join(f"m{band * 4 + j}" for j in range(4))
@@ -743,7 +751,8 @@ _CC_MAX_ROUNDS = 15
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str,
-                   pairs: DataFrame | None = None) -> DataFrame:
+                   pairs: DataFrame | None = None,
+                   demo_dups: bool = True) -> DataFrame:
     """Near-dup clustering: connected components over the LSH candidate
     pairs via iterative min-label propagation (the Spark-native shape for
     graph fixpoints without GraphFrames). Every corpus doc gets a
@@ -763,10 +772,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     rounds; it is an identity in round 0, where it is skipped);
     convergence is checked from round 1 on; lineage is cut per round via
     ``_cut_lineage`` (reliable ``checkpoint()`` when a checkpoint dir is
-    configured)."""
-    corpus = _corpus(spark, sf_dir)
+    configured). ``demo_dups=False`` clusters the documents table as-is
+    (no injected demo duplicates) — the production/build_corpus shape."""
+    corpus = (_corpus(spark, sf_dir) if demo_dups
+              else _read(spark, sf_dir, "documents")
+              .select("doc_id", "text"))
     if pairs is None:
-        pairs = dedup_minhash_lsh(spark, sf_dir)
+        pairs = dedup_minhash_lsh(spark, sf_dir, demo_dups=demo_dups)
     pairs = _cut_lineage(pairs.select("doc1", "doc2"))
     # undirected neighbor list (both directions) — narrow union over the
     # checkpointed pairs, no second materialization needed
@@ -831,14 +843,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     return touched.unionByName(singletons)
 
 
-def dedup_keep_representatives(spark: SparkSession,
-                               sf_dir: str) -> DataFrame:
+def dedup_keep_representatives(spark: SparkSession, sf_dir: str,
+                               demo_dups: bool = True) -> DataFrame:
     """The end-to-end dedup materialization: one kept doc per near-dup
     cluster (the minimum doc_id), i.e. the filtered corpus a training
     pipeline actually feeds downstream. Plan shape: the cluster table's
     is_representative flag IS the filter — no extra join against the
     corpus is needed because dedup_clusters already carries every doc."""
-    clusters = dedup_clusters(spark, sf_dir)
+    clusters = dedup_clusters(spark, sf_dir, demo_dups=demo_dups)
     return (clusters.where(F.col("is_representative"))
             .selectExpr("doc_id", "cluster_id",
                         "cluster_size as n_duplicates_absorbed"))
@@ -1545,9 +1557,14 @@ def _gram_expr_spark(n: int) -> str:
 
 
 def _gram_expr_duck(n: int) -> str:
-    """Same n-gram array in DuckDB (1-based subscripts/lambda index)."""
+    """Same n-gram array in DuckDB (1-based subscripts/lambda index).
+    The greatest() guard mirrors the Spark slice guard: without it a
+    short doc (len(t) < n) makes the upper bound negative, which DuckDB
+    reads as from-the-end and slices the whole list, emitting grams
+    built from NULL lookups where Spark emits nothing."""
     parts = " || ' ' || ".join(["x"] + [f"t[i + {j}]" for j in range(1, n)])
-    return f"list_transform(t[1:len(t) - {n - 1}], (x, i) -> {parts})"
+    return (f"list_transform(t[1:greatest(len(t) - {n - 1}, 0)], "
+            f"(x, i) -> {parts})")
 
 
 def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2048,7 +2065,7 @@ def lang_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lang",
                 "cast(n_docs as bigint) as n_docs",
                 f"cast(({target}) as bigint) as target_permille",
-                f"cast(floor(({target}) * total * 1000.0 / "
+                f"cast(floor(({target}) * total * 1000000.0 / "
                 "(1000.0 * n_docs)) as bigint) as weight_ppm"))
 
 
@@ -2056,7 +2073,7 @@ LANG_MIX_WEIGHTS_SQL = f"""
     select lang,
            cast(n_docs as bigint) as n_docs,
            cast(({{t}}) as bigint) as target_permille,
-           cast(floor(({{t}}) * total * 1000.0 / (1000.0 * n_docs))
+           cast(floor(({{t}}) * total * 1000000.0 / (1000.0 * n_docs))
                 as bigint) as weight_ppm
     from (
       select coalesce(lang, '') as lang, count(*) as n_docs,

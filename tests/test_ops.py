@@ -117,3 +117,38 @@ def test_ops_nonempty(spark):
     for name in must_be_nonempty:
         fn, _ = SQL_OPS[name]
         assert fn(spark, SF_DIR).limit(1).count() == 1, f"{name} is empty"
+
+
+def test_lang_mix_weight_ppm_unit(spark, tmp_path):
+    """weight_ppm is parts-per-million: a corpus whose actual language
+    shares exactly equal the target mixture must weight every language
+    at 1_000_000 (neither up- nor downsampled)."""
+    from nreadability_spark.spark.ops import _MIX_TARGET, lang_mix_weights
+    rows, doc_id = [], 0
+    total = 20  # 20 docs at per-mille targets -> integral counts
+    for lang, permille in _MIX_TARGET.items():
+        for _ in range(permille * total // 1000):
+            rows.append((doc_id, f"doc {doc_id}", lang))
+            doc_id += 1
+    assert doc_id == total
+    (spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+     .write.mode("overwrite")
+     .parquet(os.path.join(str(tmp_path), "documents.parquet")))
+    out = lang_mix_weights(spark, str(tmp_path)).collect()
+    assert len(out) == len(_MIX_TARGET)
+    for r in out:
+        assert r["weight_ppm"] == 1_000_000, r
+
+
+def test_dedup_demo_dups_flag(spark):
+    """demo_dups=False must cluster the documents table as-is: no
+    injected variant ids (>= 1_000_000) anywhere, one cluster row per
+    real doc — the jobs/build_corpus.py production path."""
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.ops import _read, dedup_clusters
+    clusters = dedup_clusters(spark, SF_DIR, demo_dups=False)
+    n_docs = _read(spark, SF_DIR, "documents").count()
+    agg = clusters.agg(F.count("*").alias("n"),
+                       F.max("doc_id").alias("max_id")).collect()[0]
+    assert agg["n"] == n_docs
+    assert agg["max_id"] < 1_000_000

@@ -420,3 +420,25 @@ def test_div_to_p_probe_edge_nodes():
     addr.parent = el4
     el4.children.append(addr)
     assert _inner_html_has_div_to_p(el4) is True
+
+def test_div_to_p_probe_pi_target_scanned():
+    """A PI serializes as '<?{target} {data}?>' with BOTH parts raw: a
+    tag-soup PI whose TARGET carries a block marker must match, and the
+    probe must agree with the serialized form either way."""
+    from nreadability_spark.readability.transcoder import (
+        RX_DIV_TO_P, _inner_html_has_div_to_p)
+    from nreadability_spark.readability.dom import ProcessingInstruction
+
+    el = Element("div")
+    pi = ProcessingInstruction("x<a", "y")
+    pi.parent = el
+    el.children.append(pi)
+    assert _inner_html_has_div_to_p(el) is True
+    assert RX_DIV_TO_P.search(el.get_inner_html()) is not None
+
+    el2 = Element("div")
+    pi2 = ProcessingInstruction("xml-stylesheet", "href='x.css'")
+    pi2.parent = el2
+    el2.children.append(pi2)
+    assert _inner_html_has_div_to_p(el2) is False
+    assert RX_DIV_TO_P.search(el2.get_inner_html()) is None
