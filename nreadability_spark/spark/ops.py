@@ -1397,16 +1397,23 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df desc, token). The canonical corpus-wide heavy shuffle — explode
     tokens, distinct within doc, map-side partial count, one exchange on
     the token key; AQE splits skewed stopword partitions. The global
-    top-k is a second single-partition pass over the (small) aggregated
-    table, not over the token stream."""
+    top-k compiles to TakeOrderedAndProject (orderBy + limit): each
+    partition keeps its own top-K and the driver merges K·P rows — a
+    global row_number window here would instead move the ENTIRE
+    aggregated vocabulary (billions of rows at corpus scale) into one
+    partition to sort it. Rank is then derived by a row_number window
+    over the ≤K surviving rows (AllTuples is already satisfied by the
+    single-partition top-k output, so no extra exchange appears)."""
     docs = _read(spark, sf_dir, "documents")
     tok = docs.selectExpr("doc_id",
                           f"explode(array_distinct({_TOKENS})) as token")
     df_counts = tok.groupBy("token").agg(
         F.count("*").cast("long").alias("doc_freq"))
+    top = (df_counts
+           .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+           .limit(_VOCAB_TOP_K))
     w = Window.orderBy(F.col("doc_freq").desc(), F.col("token").asc())
-    return (df_counts.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= _VOCAB_TOP_K)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("token", "doc_freq", F.col("rank").cast("long")))
 
 
@@ -2137,6 +2144,9 @@ PACK_SEQUENCES_SQL = f"""
 # (explode -> corpus-frequency count -> prune -> reassemble) is identical.
 _SEG_TOKENS = 3
 _SEG_MIN_DF = 3   # a segment seen in >= this many distinct docs is boilerplate
+# broadcast the boilerplate set at or below this many rows, else
+# shuffle-join on the segment hash (see dedup_lines docstring)
+_SEG_BC_MAX_ROWS = 5_000_000
 
 # over a pre-hoisted token array `t` (see token_counts: the split must
 # not be re-evaluated per reference)
@@ -2152,7 +2162,8 @@ _SEGS_DUCK = (f"list_transform(range(0, cast(ceil(len({_TOKENS_DUCK}) / "
               "' '))")
 
 
-def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lines(spark: SparkSession, sf_dir: str,
+                max_broadcast_rows: int = _SEG_BC_MAX_ROWS) -> DataFrame:
     """Cross-document segment dedup (the CCNet/RefinedWeb boilerplate-line
     pass): every document is split into segments, segments that occur in
     >= ``_SEG_MIN_DF`` distinct documents corpus-wide are removed, and each
@@ -2161,13 +2172,19 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     text exact doc-level dedup can't touch.
 
     Scale shape: posexplode is narrow; the corpus-frequency aggregate
-    shuffles the (segment-hash, doc_id) pairs once but its OUTPUT — the
-    boilerplate set — is a tiny fraction of the corpus by construction
-    (only segments repeated across >= _SEG_MIN_DF docs survive the HAVING),
-    so it broadcasts back onto the exploded table (no second shuffle of
-    the big side); the per-doc reassembly is one doc_id shuffle. At 100 TB
-    the frequency agg is the cost center and is exactly the hash-groupBy
-    dedup_exact already proves out.
+    shuffles the (segment-hash, doc_id) pairs once and its output — the
+    boilerplate set — is materialized (checkpoint) and SIZE-GATED: at or
+    below ``max_broadcast_rows`` it broadcasts back onto the exploded
+    table (no shuffle of the big side), above it the join degrades to a
+    shuffled-hash join on ``h`` — on a real web corpus the >=_SEG_MIN_DF
+    segment set (cookie banners, nav text — the very thing this op
+    exists to find) is realistically 1e9+ hashes, far past any broadcast
+    limit, and an unconditional broadcast would OOM the driver instead
+    of paying the one (correct, AQE-balanced) exchange of the big side.
+    The crossover default is rows-based because the rows are fixed-width
+    (16-byte hash+count): ~5e6 rows ≈ 100-200 MB built hash relation,
+    the practical executor broadcast ceiling. The per-doc reassembly is
+    one doc_id shuffle either way.
     """
     docs = _read(spark, sf_dir, "documents")
     # posexplode_outer + a filter on the OUTPUT column: a plain posexplode
@@ -2189,7 +2206,16 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = (segs.groupBy("h")
             .agg(F.countDistinct("doc_id").alias("df"))
             .where(F.col("df") >= _SEG_MIN_DF))
-    kept = (segs.join(F.broadcast(freq), "h", "left")
+    # materialize the boilerplate set once (checkpoint), count it for
+    # free off the materialized blocks, then pick the join strategy
+    freq = _cut_lineage(freq)
+    if freq.count() <= max_broadcast_rows:
+        freq = F.broadcast(freq)
+    else:
+        # too big to broadcast: shuffled-hash join on the 60-bit hash
+        # (no sort of the big exploded side; AQE splits skewed buckets)
+        freq = freq.hint("shuffle_hash")
+    kept = (segs.join(freq, "h", "left")
             .withColumn("keep", F.col("df").isNull()))
     return (kept.groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_segs"),

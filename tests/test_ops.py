@@ -152,3 +152,13 @@ def test_dedup_demo_dups_flag(spark):
                        F.max("doc_id").alias("max_id")).collect()[0]
     assert agg["n"] == n_docs
     assert agg["max_id"] < 1_000_000
+
+
+def test_dedup_lines_join_modes_agree(spark):
+    """The broadcast/shuffle size-gate is a strategy choice only: both
+    modes must produce identical reassembled corpora."""
+    from nreadability_spark.spark.ops import dedup_lines
+    bc = sorted(tuple(r) for r in dedup_lines(spark, SF_DIR).collect())
+    sh = sorted(tuple(r) for r in
+                dedup_lines(spark, SF_DIR, max_broadcast_rows=0).collect())
+    assert bc == sh

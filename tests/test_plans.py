@@ -228,10 +228,19 @@ def test_bucketed_band_join_has_no_exchange(spark):
 
 def test_vocab_build_has_mapside_partial_agg(spark):
     """The document-frequency count must partial-aggregate before its
-    exchange (map-side combine on the exploded token stream)."""
+    exchange (map-side combine on the exploded token stream), and the
+    global top-k must compile to TakeOrderedAndProject (per-partition
+    partial top-K, tiny driver merge) — NEVER a single-partition
+    exchange of the whole aggregated vocabulary. The only exchange in
+    the plan is the token-key hash exchange; the rank window runs over
+    the <=K top-k output, whose single-partition property is already
+    satisfied (no Exchange SinglePartition node)."""
     from nreadability_spark.spark.ops import vocab_top_terms
     plan = plan_of(vocab_top_terms(spark, SF_DIR))
     assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+    assert node_count(plan, "Exchange") == 1
 
 
 def test_decontaminate_broadcasts_benchmark_ngrams(spark):
@@ -325,10 +334,10 @@ def test_dedup_lines_broadcasts_boilerplate_set(spark):
     from nreadability_spark.spark.ops import dedup_lines
     plan = plan_of(dedup_lines(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
-    # 2 exchanges inside the distinct-doc-count agg (tiny output) + 1
-    # doc_id reassembly = 3; the exploded big side itself never shuffles
-    # before the join
-    assert node_count(plan, "Exchange") <= 3
+    # the boilerplate set is checkpointed before the join, so the only
+    # exchange left in this plan is the doc_id reassembly; the exploded
+    # big side itself never shuffles before the join
+    assert node_count(plan, "Exchange") == 1
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
     # the segmentation expression must be evaluated ONCE per branch: the
     # posexplode_outer + output-column filter keeps the (non-codegen)
@@ -338,6 +347,19 @@ def test_dedup_lines_broadcasts_boilerplate_set(spark):
     import re
     for cond in re.findall(r"^Condition : .*$", plan, re.MULTILINE):
         assert "transform(sequence" not in cond
+
+
+def test_dedup_lines_size_gate_degrades_to_shuffle_join(spark):
+    """Above the broadcast threshold the boilerplate set must join as a
+    SHUFFLED hash join on the segment hash — the forced broadcast of a
+    corpus-derived (potentially 1e9+-row) set would OOM the driver
+    instead of degrading. max_broadcast_rows=0 forces the big-set mode;
+    the result itself is strategy-independent (parity-checked by the
+    default-mode oracle test)."""
+    from nreadability_spark.spark.ops import dedup_lines
+    plan = plan_of(dedup_lines(spark, SF_DIR, max_broadcast_rows=0))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_gopher_quality_is_zero_shuffle_projection(spark):
