@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import warnings
+from functools import partial as _partial
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
@@ -2092,23 +2093,32 @@ LANG_MIX_WEIGHTS_SQL = f"""
 
 
 _PACK_BUDGET = 2048  # tokens per training sequence
-_PACK_STREAMS = 8    # independent packing streams (parallelism unit)
+_PACK_STREAMS = 8    # the driver-registry pinned stream count (oracle SQL)
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(spark: SparkSession, sf_dir: str,
+                   n_streams: int | None = None) -> DataFrame:
     """Sequence packing for training batches: docs are concatenated into
     token streams and split at a fixed token budget; each doc is assigned
     the bin its first token lands in, plus its offset inside that bin
     (concat-and-chunk packing, the standard pretraining batcher). The
-    corpus packs as ``_PACK_STREAMS`` INDEPENDENT streams keyed by a doc_id
+    corpus packs as ``n_streams`` INDEPENDENT streams keyed by a doc_id
     hash, so the only shuffle is on the stream key and each stream's
-    running sum is a single window pass — at 100 TB you raise the stream
-    count to O(cores) and the packing stays embarrassingly parallel
-    (bins are stream-local, globally unique as (stream, bin))."""
+    running sum is a single window pass. ``n_streams`` is the
+    parallelism ceiling — each stream's token ledger sorts inside one
+    task — so the default derives it from the cluster
+    (``defaultParallelism``, i.e. O(cores)): at 100 TB on 1000
+    executors that is thousands of streams, each sorting a bounded
+    slice. Bins are stream-local and globally unique as (stream, bin).
+    The driver-registry entry pins ``n_streams=_PACK_STREAMS`` because
+    the oracle SQL is static; ``pack_sequences64`` evidences the
+    exchange cardinality scaling with the knob."""
+    if n_streams is None:
+        n_streams = max(int(spark.sparkContext.defaultParallelism), 1)
     docs = _read(spark, sf_dir, "documents")
     toks = docs.selectExpr(
         "cast(doc_id as bigint) as doc_id",
-        f"cast(doc_id % {_PACK_STREAMS} as bigint) as stream",
+        f"cast(doc_id % {n_streams} as bigint) as stream",
         f"cast(size({_TOKENS}) as bigint) as n_tokens")
     w = (Window.partitionBy("stream").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -2122,19 +2132,32 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " as bin_offset"))
 
 
-PACK_SEQUENCES_SQL = f"""
+def pack_sequences64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(cores) configuration (64 streams): same single-exchange
+    plan, but the stream key now has 64 distinct values — evidence the
+    parallelism ceiling is a knob, not a plan property (the
+    ann_ivf_topk64 pattern)."""
+    return pack_sequences(spark, sf_dir, n_streams=64)
+
+
+def _pack_sequences_sql(n_streams: int) -> str:
+    return f"""
     select stream, doc_id, n_tokens,
            cast(floor((cum - n_tokens) / {_PACK_BUDGET}) as bigint) as bin,
            cast((cum - n_tokens) % {_PACK_BUDGET} as bigint) as bin_offset
     from (
       select cast(doc_id as bigint) as doc_id,
-             cast(doc_id % {_PACK_STREAMS} as bigint) as stream,
+             cast(doc_id % {n_streams} as bigint) as stream,
              cast(len({_TOKENS_DUCK}) as bigint) as n_tokens,
              sum(cast(len({_TOKENS_DUCK}) as bigint)) over (
-               partition by doc_id % {_PACK_STREAMS} order by doc_id
+               partition by doc_id % {n_streams} order by doc_id
                rows between unbounded preceding and current row) as cum
       from documents)
 """
+
+
+PACK_SEQUENCES_SQL = _pack_sequences_sql(_PACK_STREAMS)
+PACK_SEQUENCES64_SQL = _pack_sequences_sql(64)
 
 
 # --- cross-document segment dedup (CCNet-style paragraph dedup) ---------------
@@ -2345,7 +2368,10 @@ SQL_OPS = {
     "gopher_quality": (gopher_quality, GOPHER_QUALITY_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "lang_mix_weights": (lang_mix_weights, LANG_MIX_WEIGHTS_SQL),
-    "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
+    # pinned stream counts: the static oracle SQL must see the same knob
+    "pack_sequences": (_partial(pack_sequences, n_streams=_PACK_STREAMS),
+                       PACK_SEQUENCES_SQL),
+    "pack_sequences64": (pack_sequences64, PACK_SEQUENCES64_SQL),
     "training_mix": (training_mix, TRAINING_MIX_SQL),
     "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),

@@ -316,6 +316,24 @@ def test_pack_sequences_is_single_stream_shuffle(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
+def test_pack_sequences_stream_count_scales(spark):
+    """The parallelism ceiling is a knob, not a constant: the default
+    derives the stream count from the cluster (defaultParallelism), and
+    an explicit n_streams changes the stream-key cardinality while the
+    plan stays the same single exchange."""
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.ops import pack_sequences
+    # explicit knob: 64 populated streams, still one exchange
+    df64 = pack_sequences(spark, SF_DIR, n_streams=64)
+    assert node_count(plan_of(df64), "Exchange") == 1
+    n64 = df64.select(F.countDistinct("stream")).collect()[0][0]
+    assert n64 == 64
+    # parallelism-derived default (local[4] fixture -> 4 streams)
+    ndef = (pack_sequences(spark, SF_DIR)
+            .select(F.countDistinct("stream")).collect()[0][0])
+    assert ndef == spark.sparkContext.defaultParallelism
+
+
 def test_lang_mix_weights_aggregates_before_single_partition(spark):
     """The scalar-total window runs AFTER the per-language aggregation:
     the single-partition exchange only ever sees #languages rows, never
