@@ -122,9 +122,16 @@ def host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host document cap (crawl-diversity sampling): keep the first
     ``_HOST_CAP`` docs per host by (n_chars desc, doc_id) — the standard
     guard against a single boilerplate-heavy host dominating a training
-    mix. One shuffle on the host key; at corpus scale the window runs
-    map-side-partial-free but AQE splits skewed hosts, and the cap bounds
-    every host's contribution regardless of its crawl footprint."""
+    mix.
+
+    Mega-host safety: the row_number()<=K filter compiles to Spark's
+    WindowGroupLimit with a PARTIAL pass before the exchange — every map
+    task keeps only its own top-K per host, so the shuffle moves <=K rows
+    per (host, map-partition) and the reduce-side sort of even the
+    largest host is bounded at K·P rows, not its crawl footprint. This
+    is the two-phase top-K for free; the plan lock pins the Partial
+    node so a regression (e.g. a filter shape WindowGroupLimit can't
+    match) would be caught."""
     docs = _read(spark, sf_dir, "documents")
     w = Window.partitionBy((F.col("doc_id") % 97).cast("long")) \
         .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
@@ -1122,13 +1129,14 @@ def ann_ivf_build(spark: SparkSession, sf_dir: str, index_path: str,
     hive-partitioned by cell. At production scale this runs once per
     corpus snapshot; searches then read only the probed cells' partitions
     (dynamic partition pruning) instead of scanning and shuffling the
-    whole corpus per query batch."""
+    whole corpus per query batch. Cell assignment uses the vectorized
+    Arrow/numpy kernel (``_assign_cells_arrow``): the build pass is the
+    one that touches EVERY corpus vector, exactly where the n_cells×dim
+    interpreted expression form hurts most."""
     emb = _read(spark, sf_dir, "embeddings")
-    c = emb.where(F.col("vec_id") >= _N_QUERIES).selectExpr(
-        "vec_id as cand_id", f"{_QVEC} as cv"
-    ).selectExpr(
-        "cand_id", "cv",
-        f"-array_max({_ivf_scores('cv', 'spark', n_cells)}).nj as cell")
+    c = _assign_cells_arrow(
+        emb.where(F.col("vec_id") >= _N_QUERIES).selectExpr(
+            "vec_id as cand_id", f"{_QVEC} as cv"), n_cells)
     c.write.mode("overwrite").partitionBy("cell").parquet(index_path)
 
 

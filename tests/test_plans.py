@@ -179,14 +179,20 @@ def test_ngram_jaccard_prunes_shingles_before_pair_join(spark):
     assert "LeftSemi" in plan
 
 
-def test_host_cap_is_single_shuffle_window(spark):
-    """host_cap must be one exchange (the window's host partition) plus
-    the scan — no stray shuffles, and the rk filter applied before
-    output."""
+def test_host_cap_is_single_shuffle_bounded_window(spark):
+    """host_cap must be one exchange (the window's host partition) with
+    a PARTIAL WindowGroupLimit before it: each map task pre-prunes to
+    its own top-K per host, so the exchange moves <=K rows per (host,
+    map-partition) and no mega-host ever sorts its full footprint in one
+    task. A second explicit ranking phase would only add an exchange —
+    Spark's WindowGroupLimit already IS the two-phase top-K."""
     from nreadability_spark.spark.ops import host_cap
     plan = plan_of(host_cap(spark, SF_DIR))
     assert node_count(plan, "Exchange") == 1
     assert "Window" in plan
+    import re
+    assert re.search(r"WindowGroupLimit[\s\S]*?row_number\(\), 5, Partial",
+                     plan), "map-side partial top-K missing"
 
 
 def test_training_mix_uses_semi_joins(spark):
