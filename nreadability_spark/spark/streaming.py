@@ -91,42 +91,72 @@ DEDUP_OUT_SCHEMA = ("content_md5 string, url string, first_seen boolean, "
                     "n_seen long")
 
 
-def _dedup_update(key, pdfs, state):
-    """applyInPandasWithState update fn: keyed by content hash; the state
-    carries (count, first-seen url) so duplicates are dropped ACROSS
-    micro-batches — a page crawled again hours later is still a dup. One
-    row per touched key per batch: the kept url plus the running copy
-    count (first_seen marks the batch that introduced the key)."""
-    import pandas as pd
-    seen, first_url = state.get if state.exists else (0, None)
-    batch_n = 0
-    for pdf in pdfs:
-        for url in pdf["url"]:
-            if seen + batch_n == 0:
-                first_url = url
-            batch_n += 1
-    state.update((seen + batch_n, first_url))
-    if batch_n > 0:
-        yield pd.DataFrame({"content_md5": [key[0]], "url": [first_url],
-                            "first_seen": [seen == 0],
-                            "n_seen": [seen + batch_n]})
+def _make_dedup_update(state_ttl_ms: int | None):
+    """Build the applyInPandasWithState update fn for dedup_stream.
+
+    The state is keyed by content hash and carries (count, first-seen
+    url) so duplicates are dropped ACROSS micro-batches — a page crawled
+    again hours later is still a dup. One row per touched key per batch:
+    the kept url plus the running copy count (first_seen marks the batch
+    that introduced the key). With ``state_ttl_ms`` set, a key idle past
+    the TTL is EVICTED on a later batch's timeout sweep (yielding no
+    tombstone); a copy arriving after eviction re-registers as
+    first_seen — bounded state in exchange for missing dups spaced wider
+    than the TTL."""
+    def _dedup_update(key, pdfs, state):
+        import pandas as pd
+        if state.hasTimedOut:
+            # idle past the TTL: drop the state row, emit nothing
+            state.remove()
+            return
+        seen, first_url = state.get if state.exists else (0, None)
+        batch_n = 0
+        for pdf in pdfs:
+            for url in pdf["url"]:
+                if seen + batch_n == 0:
+                    first_url = url
+                batch_n += 1
+        state.update((seen + batch_n, first_url))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if batch_n > 0:
+            yield pd.DataFrame({"content_md5": [key[0]], "url": [first_url],
+                                "first_seen": [seen == 0],
+                                "n_seen": [seen + batch_n]})
+    return _dedup_update
 
 
-def dedup_stream(pages_stream: DataFrame) -> DataFrame:
+# default (unbounded) form, kept importable for tests/compat
+_dedup_update = _make_dedup_update(None)
+
+
+def dedup_stream(pages_stream: DataFrame,
+                 state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming exact dedup at ingest: group by html md5, keep state per
     content hash so duplicates are dropped ACROSS micro-batches, emit the
     first-seen url per hash (update mode re-emits a key's row when its
-    duplicate count grows). The dataset-scale twin of dedup_exact."""
+    duplicate count grows). The dataset-scale twin of dedup_exact.
+
+    State growth: without a TTL the store grows with every unique
+    content hash forever — fine for bounded backfills, wrong for
+    continuous 100 TB ingest. Pass ``state_ttl_ms`` (processing-time
+    timeout) to evict hashes idle past the TTL: re-crawled dups inside
+    the TTL are still caught, state size is bounded by the TTL-window
+    unique-hash arrival rate, and the production config pairs this with
+    the RocksDB state store (spark.sql.streaming.stateStore.providerClass)
+    so even that window spills off-heap."""
     from pyspark.sql.streaming.state import GroupStateTimeout
     hashed = pages_stream.select(
         F.md5(F.col("html")).alias("content_md5"), F.col("url"))
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
     return (hashed.groupBy("content_md5")
             .applyInPandasWithState(
-                _dedup_update,
+                _make_dedup_update(state_ttl_ms),
                 outputStructType=DEDUP_OUT_SCHEMA,
                 stateStructType=DEDUP_STATE_SCHEMA,
                 outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=timeout))
 
 
 def windowed_metrics_stream(spark: SparkSession, source_dir: str,

@@ -223,3 +223,66 @@ def test_windowed_metrics_stream(spark, tmp_path_factory):
     assert got.count() >= 1
     assert got.agg({"docs": "sum"}).collect()[0][0] > 0
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_dedup_state_ttl_eviction(spark, tmp_path_factory):
+    """With state_ttl_ms set, a content hash idle past the TTL is
+    evicted on a later batch's timeout sweep: a copy arriving AFTER
+    eviction re-registers as first_seen with a reset count, while a key
+    refreshed by new data inside the run keeps its state. Bounds the
+    dedup store for continuous ingest."""
+    import time
+
+    from pyspark.sql import Row, functions as F
+    from nreadability_spark.spark.streaming import dedup_stream, PAGES_DDL
+
+    base = str(tmp_path_factory.mktemp("dttl"))
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+
+    def page(url, payload):
+        import datetime
+        return Row(url=url, warc_ts=datetime.datetime(2024, 1, 1),
+                   html=payload.encode(), text=payload, lang="en")
+
+    def write_wave(rows):
+        spark.createDataFrame(rows, PAGES_DDL).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def run(ttl):
+        stream = dedup_stream(
+            spark.readStream.schema(PAGES_DDL)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+            state_ttl_ms=ttl)
+        q = (stream.writeStream
+             .foreachBatch(lambda b, _i: b.write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    ttl = 700
+    write_wave([page("https://a.example/1", "AAA"),
+                page("https://b.example/1", "BBB")])
+    run(ttl)
+    time.sleep(2 * ttl / 1000.0)  # let both keys' timers expire
+    # wave 2 carries only A: B has no data this batch -> timeout sweep
+    # evicts it; A's state survives (keys WITH data are never swept)
+    write_wave([page("https://a.example/2", "AAA")])
+    run(ttl)
+    # wave 3: B returns under a mirror url -> state was evicted, so it
+    # re-registers as first_seen with the NEW url and a reset count
+    write_wave([page("https://mirror.example/b", "BBB")])
+    run(ttl)
+
+    got = spark.read.parquet(out)
+    b_hash = spark.createDataFrame([("BBB",)], "p string") \
+        .select(F.md5(F.col("p").cast("binary"))).collect()[0][0]
+    b_rows = (got.where(F.col("content_md5") == b_hash)
+              .orderBy("n_seen").collect())
+    assert [r["first_seen"] for r in b_rows] == [True, True]
+    assert b_rows[-1]["url"] == "https://mirror.example/b"
+    assert b_rows[-1]["n_seen"] == 1
+    # A was refreshed inside the TTL: still deduped across batches
+    a_last = (got.where(F.col("content_md5") != b_hash)
+              .agg(F.max("n_seen")).collect()[0][0])
+    assert a_last == 2
+    shutil.rmtree(base, ignore_errors=True)
