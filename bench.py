@@ -27,6 +27,28 @@ REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
 CACHE_DIR = os.path.join(_REPO, ".bench_cache")
 
 
+def plan_hash(df) -> str:
+    """Stable hash of the physical plan so cross-round wall-clock deltas
+    are attributable: same hash = same plan (the delta is the host
+    window), different hash = a plan change to diff. Expression ids,
+    plan ids, codegen ids, file paths, and size statistics are
+    normalized out."""
+    import contextlib
+    import hashlib
+    import io
+    import re
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    p = re.sub(r"#\d+", "#", p)
+    p = re.sub(r"plan_id=\d+", "plan_id", p)
+    p = re.sub(r"\[codegen id : \d+\]", "", p)
+    p = re.sub(r"file:[^\s\],]+", "file", p)
+    p = re.sub(r"Statistics\([^)]*\)", "Statistics", p)
+    return hashlib.md5(p.encode()).hexdigest()[:12]
+
+
 def materialize_pages(spark, sf_dir: str, replicate: int) -> str:
     """Write the synthesized pages table to parquet once so the measured
     pipeline is a real scan -> extract, not synthesis.
@@ -55,6 +77,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     from nreadability_spark.spark.ops import SQL_OPS
 
     timings: dict[str, float] = {}
+    plan_hashes: dict[str, str] = {}
 
     pages_path = materialize_pages(spark, sf_dir, REPLICATE)
     pages = spark.read.parquet(pages_path)
@@ -76,6 +99,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         if extract_sec is None or dt < extract_sec:
             extract_sec = dt
     timings["extract_articles"] = round(extract_sec, 3)
+    plan_hashes["extract_articles"] = plan_hash(out)
 
     # serde-narrow extraction variant (same kernel, fingerprint output)
     t0 = time.perf_counter()
@@ -97,13 +121,27 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "training_mix", "quality_repetition", "pii_redact",
                  "decontaminate", "url_normalize", "events_asof",
                  "events_range_counts", "stratified_sample",
-                 "lang_mix_weights", "pack_sequences", "dedup_lines",
-                 "gopher_quality"):
+                 "lang_mix_weights", "pack_sequences", "pack_sequences64",
+                 "dedup_lines", "gopher_quality"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.agg(F.count("*")).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        plan_hashes[name] = plan_hash(df)
+
+    # IVF index lifecycle: the whole-corpus build pass (Arrow-kernel cell
+    # assignment -> cell-partitioned parquet) + the DPP-pruned search
+    from nreadability_spark.spark.ops import ann_ivf_build, ann_ivf_search
+    idx = os.path.join(CACHE_DIR, "ivf_index_bench")
+    t0 = time.perf_counter()
+    ann_ivf_build(spark, sf_dir, idx)
+    timings["ann_ivf_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    sdf = ann_ivf_search(spark, sf_dir, idx)
+    sdf.agg(F.count("*")).collect()
+    timings["ann_ivf_search"] = round(time.perf_counter() - t0, 3)
+    plan_hashes["ann_ivf_search"] = plan_hash(sdf)
 
     # chained forms: when the LSH candidates are already materialized
     # (the real pipeline shape), ngram_jaccard and dedup_clusters skip
@@ -124,6 +162,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         "value": timings["extract_articles"],
         "unit": "sec",
         "queries": timings,
+        "plan_hashes": plan_hashes,
         "sf": sf_dir,
         "docs": n_docs,
         "docs_per_sec": round(n_docs / extract_sec, 1),
