@@ -144,7 +144,11 @@ def dedup_stream(pages_stream: DataFrame,
     the TTL are still caught, state size is bounded by the TTL-window
     unique-hash arrival rate, and the production config pairs this with
     the RocksDB state store (spark.sql.streaming.stateStore.providerClass)
-    so even that window spills off-heap."""
+    so even that window spills off-heap. Use the TTL with a
+    processing-time trigger only: under Trigger.AvailableNow a
+    processing-time timeout keeps the query scheduling no-data batches
+    to fire timers and it never terminates (observed on Spark 4.1) —
+    backfills should keep the NoTimeout default."""
     from pyspark.sql.streaming.state import GroupStateTimeout
     hashed = pages_stream.select(
         F.md5(F.col("html")).alias("content_md5"), F.col("url"))

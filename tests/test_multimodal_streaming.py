@@ -224,13 +224,14 @@ def test_windowed_metrics_stream(spark, tmp_path_factory):
     assert got.agg({"docs": "sum"}).collect()[0][0] > 0
     shutil.rmtree(base, ignore_errors=True)
 
-
 def test_streaming_dedup_state_ttl_eviction(spark, tmp_path_factory):
     """With state_ttl_ms set, a content hash idle past the TTL is
-    evicted on a later batch's timeout sweep: a copy arriving AFTER
-    eviction re-registers as first_seen with a reset count, while a key
-    refreshed by new data inside the run keeps its state. Bounds the
-    dedup store for continuous ingest."""
+    evicted by a later batch's timeout sweep: a copy arriving AFTER
+    eviction re-registers as first_seen with a reset count, while a copy
+    arriving INSIDE the TTL is still deduped. Driven as one continuous
+    processing-time-trigger query (the TTL's production shape —
+    availableNow backfills keep the default NoTimeout)."""
+    import datetime
     import time
 
     from pyspark.sql import Row, functions as F
@@ -238,9 +239,9 @@ def test_streaming_dedup_state_ttl_eviction(spark, tmp_path_factory):
 
     base = str(tmp_path_factory.mktemp("dttl"))
     src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
 
     def page(url, payload):
-        import datetime
         return Row(url=url, warc_ts=datetime.datetime(2024, 1, 1),
                    html=payload.encode(), text=payload, lang="en")
 
@@ -248,41 +249,62 @@ def test_streaming_dedup_state_ttl_eviction(spark, tmp_path_factory):
         spark.createDataFrame(rows, PAGES_DDL).coalesce(1) \
             .write.mode("append").parquet(src)
 
-    def run(ttl):
-        stream = dedup_stream(
-            spark.readStream.schema(PAGES_DDL)
-            .option("maxFilesPerTrigger", "1").parquet(src),
-            state_ttl_ms=ttl)
-        q = (stream.writeStream
-             .foreachBatch(lambda b, _i: b.write.mode("append").parquet(out))
-             .option("checkpointLocation", ckpt)
-             .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+    def wait_rows(n, timeout_s=120):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n:
+                    return
+            except Exception:
+                pass
+            time.sleep(0.5)
+        raise AssertionError(f"sink never reached {n} rows")
 
-    ttl = 700
+    # well above this box's ~6 s wave->batch latency so the intra-TTL
+    # copy provably lands inside the window
+    ttl_ms = 15000
     write_wave([page("https://a.example/1", "AAA"),
                 page("https://b.example/1", "BBB")])
-    run(ttl)
-    time.sleep(2 * ttl / 1000.0)  # let both keys' timers expire
-    # wave 2 carries only A: B has no data this batch -> timeout sweep
-    # evicts it; A's state survives (keys WITH data are never swept)
-    write_wave([page("https://a.example/2", "AAA")])
-    run(ttl)
-    # wave 3: B returns under a mirror url -> state was evicted, so it
-    # re-registers as first_seen with the NEW url and a reset count
-    write_wave([page("https://mirror.example/b", "BBB")])
-    run(ttl)
+    stream = dedup_stream(
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+        state_ttl_ms=ttl_ms)
+    q = (stream.writeStream
+         .foreachBatch(lambda b, _i: b.write.mode("append").parquet(out))
+         .option("checkpointLocation", ckpt)
+         .outputMode("update").trigger(processingTime="250 milliseconds")
+         .start())
+    try:
+        wait_rows(2)                      # A(true,1), B(true,1)
+        # inside the TTL: A again -> still deduped, state refreshed
+        write_wave([page("https://a.example/2", "AAA")])
+        wait_rows(3)                      # + A(false,2)
+        time.sleep(2 * ttl_ms / 1000.0)   # both keys idle past the TTL
+        # force a data batch so the timeout sweep provably ran even if
+        # no-data batches were not scheduled: C arrives, A+B evicted
+        write_wave([page("https://c.example/1", "CCC")])
+        wait_rows(4)                      # + C(true,1)
+        # B returns under a mirror url: state was evicted, so it
+        # re-registers as first_seen with the NEW url and a reset count
+        write_wave([page("https://mirror.example/b", "BBB")])
+        wait_rows(5)
+    finally:
+        q.stop()
 
-    got = spark.read.parquet(out)
-    b_hash = spark.createDataFrame([("BBB",)], "p string") \
-        .select(F.md5(F.col("p").cast("binary"))).collect()[0][0]
-    b_rows = (got.where(F.col("content_md5") == b_hash)
-              .orderBy("n_seen").collect())
-    assert [r["first_seen"] for r in b_rows] == [True, True]
-    assert b_rows[-1]["url"] == "https://mirror.example/b"
-    assert b_rows[-1]["n_seen"] == 1
-    # A was refreshed inside the TTL: still deduped across batches
-    a_last = (got.where(F.col("content_md5") != b_hash)
-              .agg(F.max("n_seen")).collect()[0][0])
-    assert a_last == 2
+    got = spark.read.parquet(out).collect()
+    # emissions carry the KEPT (first-seen) url, so group by url
+    by_url: dict = {}
+    for r in got:
+        by_url.setdefault(r["url"], []).append(
+            (r["first_seen"], r["n_seen"]))
+    # A: registered, then deduped INSIDE the TTL under its kept url
+    assert sorted(by_url["https://a.example/1"]) == [(False, 2), (True, 1)]
+    assert "https://a.example/2" not in by_url
+    # B: registered, idle past the TTL -> evicted by the sweep -> the
+    # mirror copy re-registers as first_seen with a reset count
+    assert by_url["https://b.example/1"] == [(True, 1)]
+    assert by_url["https://mirror.example/b"] == [(True, 1)]
+    b_hashes = {r["content_md5"] for r in got
+                if r["url"].endswith("/b") or r["url"].endswith("b.example/1")}
+    assert len(b_hashes) == 1
     shutil.rmtree(base, ignore_errors=True)
