@@ -406,7 +406,10 @@ def test_token_split_evaluated_once_per_branch(spark):
     from nreadability_spark.spark import ops
     expected = {"token_counts": 1, "quality_score": 1,
                 "gopher_quality": 1, "token_counts_bpe": 0,
-                "dedup_lines": 2,  # freq branch + big branch
+                # the freq branch is checkpointed before the join (size
+                # gate), so the visible plan carries only the big
+                # branch's tokenization
+                "dedup_lines": 1,
                 # the sketch corpus is a SINGLE-scan variant explode (not
                 # a 3-branch union), and the non-empty guards are cheap
                 # text regexes BEFORE the projection: one tokenization
