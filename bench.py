@@ -122,7 +122,8 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "decontaminate", "url_normalize", "events_asof",
                  "events_range_counts", "stratified_sample",
                  "lang_mix_weights", "pack_sequences", "pack_sequences64",
-                 "dedup_lines", "gopher_quality"):
+                 "dedup_lines", "dedup_lines_within_doc", "lm_bigram_score",
+                 "gopher_quality"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

@@ -1655,6 +1655,56 @@ def _repetition_sql_duck() -> str:
 QUALITY_REPETITION_SQL = _repetition_sql_duck()
 
 
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency score (the CCNet perplexity-bucket analog in
+    exact integer form): a bigram count model is 'trained' on the corpus
+    itself, and each document is scored by the average corpus frequency
+    of its own bigrams — fluent, ordinary prose is made of bigrams the
+    corpus has seen often; gibberish and word salad score low. The
+    score is floor(1000 * Σ tf(g)·c(g) / Σ tf(g)) with c(g) the corpus
+    occurrence count, so no float crosses the compare boundary.
+
+    Scale shape: the per-doc term frequencies aggregate on the
+    high-cardinality (doc_id, gram) composite (map-side partial), the
+    corpus model aggregates ON TOP of that output (never re-reads the
+    raw gram stream), and the model joins back on the gram key — a
+    corpus-derived table far past any broadcast limit, so it is a
+    shuffle join BY DESIGN with AQE splitting the stopword-bigram skew
+    ('of the' is in every partition's top keys); the final rollup is one
+    doc_id exchange. This is the canonical train-on-corpus/score-corpus
+    dataflow every self-supervised quality filter shares."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.selectExpr("cast(doc_id as bigint) as doc_id",
+                           f"{_TOKENS} as t")
+    grams = toks.selectExpr("doc_id",
+                            f"explode({_gram_expr_spark(2)}) as g")
+    tf = grams.groupBy("doc_id", "g").agg(F.count("*").alias("tf"))
+    model = tf.groupBy("g").agg(F.sum("tf").alias("c"))
+    return (tf.join(model, "g")
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+                 F.expr("cast(floor(sum(tf * c) * 1000.0 / sum(tf)) "
+                        "as bigint)").alias("score_milli")))
+
+
+LM_BIGRAM_SCORE_SQL = f"""
+    with toks as (
+      select cast(doc_id as bigint) as doc_id, {_TOKENS_DUCK} as t
+      from documents),
+    tf as (
+      select doc_id, g, count(*) as tf
+      from (select doc_id, unnest({_gram_expr_duck(2)}) as g from toks)
+      group by 1, 2),
+    model as (select g, sum(tf) as c from tf group by 1)
+    select doc_id,
+           cast(sum(tf) as bigint) as n_bigrams,
+           cast(floor(sum(tf * c) * 1000.0 / sum(tf)) as bigint)
+             as score_milli
+    from tf join model using (g)
+    group by doc_id
+"""
+
+
 # --- PII detection / redaction ---------------------------------------------------
 
 # bracket-class-only regexes so the identical pattern string is valid in
@@ -2193,6 +2243,26 @@ _SEGS_DUCK = (f"list_transform(range(0, cast(ceil(len({_TOKENS_DUCK}) / "
               "' '))")
 
 
+def _seg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, pos, seg, h) segment table shared by the segment
+    dedup ops. posexplode_outer + a filter on the OUTPUT column: a plain
+    posexplode injects a non-empty predicate on the segs array that
+    Catalyst pushes below the projection, re-evaluating the whole
+    (non-codegen, higher-order-function) segmentation expression twice
+    more per row in the Filter — 3 evaluations per branch. The outer form
+    adds no input filter, so segmentation is computed exactly once per
+    branch (measured 2.6x on the sf0.1 corpus, 10.7 s -> 4.0 s)."""
+    docs = _read(spark, sf_dir, "documents")
+    segs = (docs
+            .selectExpr("cast(doc_id as bigint) as doc_id",
+                        f"{_TOKENS} as t")
+            .selectExpr("doc_id", f"{_SEGS} as segs")
+            .select("doc_id",
+                    F.posexplode_outer("segs").alias("pos", "seg"))
+            .where("seg is not null"))
+    return segs.withColumn("h", F.expr(_H60.format(col="seg")))
+
+
 def dedup_lines(spark: SparkSession, sf_dir: str,
                 max_broadcast_rows: int = _SEG_BC_MAX_ROWS) -> DataFrame:
     """Cross-document segment dedup (the CCNet/RefinedWeb boilerplate-line
@@ -2217,23 +2287,7 @@ def dedup_lines(spark: SparkSession, sf_dir: str,
     the practical executor broadcast ceiling. The per-doc reassembly is
     one doc_id shuffle either way.
     """
-    docs = _read(spark, sf_dir, "documents")
-    # posexplode_outer + a filter on the OUTPUT column: a plain posexplode
-    # injects a non-empty predicate on the segs array that Catalyst pushes
-    # below the projection, re-evaluating the whole (non-codegen,
-    # higher-order-function) segmentation expression twice more per row in
-    # the Filter — 3 evaluations per branch. The outer form adds no input
-    # filter, so segmentation is computed exactly once per branch
-    # (measured 2.6x on the sf0.1 corpus, 10.7 s -> 4.0 s).
-    segs = (docs
-            .selectExpr("cast(doc_id as bigint) as doc_id",
-                        f"{_TOKENS} as t")
-            .selectExpr("doc_id", f"{_SEGS} as segs")
-            .select("doc_id",
-                    F.posexplode_outer("segs").alias("pos", "seg"))
-            .where("seg is not null"))
-    h = _H60.format(col="seg")
-    segs = segs.withColumn("h", F.expr(h))
+    segs = _seg_table(spark, sf_dir)
     freq = (segs.groupBy("h")
             .agg(F.countDistinct("doc_id").alias("df"))
             .where(F.col("df") >= _SEG_MIN_DF))
@@ -2278,6 +2332,57 @@ DEDUP_LINES_SQL = f"""
                                order by s.pos), '') as text_clean
     from segs s left join freq f on s.h = f.h
     group by s.doc_id
+"""
+
+
+def dedup_lines_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-segment removal (the C4/Dolma within-doc
+    pass, complement of the cross-corpus ``dedup_lines``): inside each
+    document only the FIRST occurrence of a segment survives; later
+    copies (repeated boilerplate blocks, templated listings, scraper
+    stutter) are dropped and the text is reassembled in order.
+
+    Scale shape: one exchange on the high-cardinality composite
+    (doc_id, h) for the first-occurrence ranking — no corpus-wide
+    frequency table at all, so unlike dedup_lines there is nothing to
+    broadcast or size-gate — then the per-doc reassembly exchange. Both
+    keys contain doc_id, so no single reducer ever sees more than a
+    document's worth of one segment."""
+    segs = _seg_table(spark, sf_dir)
+    w = Window.partitionBy("doc_id", "h").orderBy("pos")
+    kept = (segs.withColumn("rn", F.row_number().over(w))
+            .withColumn("keep", F.col("rn") == 1))
+    return (kept.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_segs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                 F.expr("array_join(transform(filter(array_sort("
+                        "collect_list(struct(pos, seg, keep))), "
+                        "x -> x.keep), x -> x.seg), ' ')")
+                 .alias("text_clean")))
+
+
+DEDUP_LINES_WITHIN_DOC_SQL = f"""
+    with segs as (
+      select doc_id, u.pos as pos, u.seg as seg,
+             {_H60_DUCK.format(col='u.seg')} as h
+      from (
+        select cast(doc_id as bigint) as doc_id,
+               unnest(list_transform(range(0, len({_SEGS_DUCK})),
+                 i -> struct_pack(pos := i,
+                                  seg := ({_SEGS_DUCK})[i + 1]))) as u
+        from documents)),
+    ranked as (
+      select *, row_number() over (partition by doc_id, h
+                                   order by pos) as rn
+      from segs)
+    select doc_id,
+           cast(count(*) as bigint) as n_segs,
+           cast(sum(case when rn = 1 then 1 else 0 end) as bigint)
+             as n_kept,
+           coalesce(string_agg(case when rn = 1 then seg end, ' '
+                               order by pos), '') as text_clean
+    from ranked
+    group by doc_id
 """
 
 
@@ -2373,6 +2478,9 @@ SQL_OPS = {
                                    DEDUP_KEEP_REPRESENTATIVES_SQL),
     "host_cap": (host_cap, HOST_CAP_SQL),
     "dedup_lines": (dedup_lines, DEDUP_LINES_SQL),
+    "dedup_lines_within_doc": (dedup_lines_within_doc,
+                               DEDUP_LINES_WITHIN_DOC_SQL),
+    "lm_bigram_score": (lm_bigram_score, LM_BIGRAM_SCORE_SQL),
     "gopher_quality": (gopher_quality, GOPHER_QUALITY_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "lang_mix_weights": (lang_mix_weights, LANG_MIX_WEIGHTS_SQL),

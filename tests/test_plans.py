@@ -431,3 +431,36 @@ def test_filter_pushdown_reaches_scan(spark):
     plan = plan_of(df)
     assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,42)]" \
         in plan
+
+
+def test_dedup_lines_within_doc_keys_contain_doc_id(spark):
+    """The intra-doc pass has no corpus-wide table at all: both
+    exchanges key on composites containing doc_id (first-occurrence
+    ranking on (doc_id, h), reassembly on doc_id), so no reducer ever
+    sees more than one document's worth of a segment. No joins, no
+    broadcast, segmentation evaluated once (output-column filter)."""
+    from nreadability_spark.spark.ops import dedup_lines_within_doc
+    plan = plan_of(dedup_lines_within_doc(spark, SF_DIR))
+    assert "Join" not in plan
+    assert node_count(plan, "Exchange") == 2
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    import re
+    for cond in re.findall(r"^Condition : .*$", plan, re.MULTILINE):
+        assert "transform(sequence" not in cond
+
+
+def test_lm_bigram_score_model_joins_by_shuffle(spark):
+    """The corpus bigram model aggregates on top of the per-doc tf
+    output (partial_count before the first exchange; the raw gram
+    stream is read once), and the model joins back by SHUFFLE — a
+    corpus-derived table must never be forced broadcast (the dedup_lines
+    lesson); at test scale AQE may still pick broadcast at runtime, so
+    pin the static plan with autoBroadcastJoinThreshold off."""
+    from nreadability_spark.spark.ops import lm_bigram_score
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(lm_bigram_score(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    assert "partial_count" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
