@@ -163,6 +163,26 @@ def dedup_stream(pages_stream: DataFrame,
                 timeoutConf=timeout))
 
 
+def dedup_stream_watermarked(pages_stream: DataFrame,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Event-time-bounded streaming dedup via the BUILT-IN
+    ``dropDuplicatesWithinWatermark``: keeps the first row per content
+    hash among rows whose event times fall within the watermark delay of
+    each other, and Spark itself evicts state once the watermark passes —
+    the all-JVM, no-Python-state alternative to ``dedup_stream``. Use
+    this when "duplicate" means re-crawled within the event-time window
+    (the common ingest contract); use ``dedup_stream`` when you need the
+    copy COUNT, the kept-url bookkeeping, or processing-time TTL
+    semantics. Append output mode, so it composes with plain file
+    sinks."""
+    hashed = (pages_stream
+              .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+              .withWatermark("warc_ts", watermark)
+              .select(F.md5(F.col("html")).alias("content_md5"),
+                      "url", "warc_ts"))
+    return hashed.dropDuplicatesWithinWatermark(["content_md5"])
+
+
 def windowed_metrics_stream(spark: SparkSession, source_dir: str,
                             window: str = "1 hour",
                             watermark: str = "2 hours") -> DataFrame:

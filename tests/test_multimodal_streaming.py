@@ -308,3 +308,42 @@ def test_streaming_dedup_state_ttl_eviction(spark, tmp_path_factory):
                 if r["url"].endswith("/b") or r["url"].endswith("b.example/1")}
     assert len(b_hashes) == 1
     shutil.rmtree(base, ignore_errors=True)
+
+def test_streaming_dedup_watermarked(spark, tmp_path_factory):
+    """The built-in dropDuplicatesWithinWatermark variant must keep one
+    row per content hash within the event-time window, with state evicted
+    by the watermark (all-JVM — no Python state in the plan)."""
+    import datetime
+
+    from pyspark.sql import Row, functions as F
+    from nreadability_spark.spark.streaming import (PAGES_DDL,
+                                                    dedup_stream_watermarked)
+
+    base = str(tmp_path_factory.mktemp("dwm"))
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    ts = datetime.datetime(2024, 1, 1, 12, 0)
+
+    def page(url, payload, minutes):
+        return Row(url=url, warc_ts=ts + datetime.timedelta(minutes=minutes),
+                   html=payload.encode(), text=payload, lang="en")
+
+    rows = [page("https://a.example/1", "AAA", 0),
+            page("https://a.example/2", "AAA", 30),   # dup inside window
+            page("https://b.example/1", "BBB", 5)]
+    spark.createDataFrame(rows, PAGES_DDL).coalesce(1).write.parquet(src)
+
+    stream = dedup_stream_watermarked(
+        spark.readStream.schema(PAGES_DDL).parquet(src),
+        watermark="2 hours")
+    q = (stream.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    # one survivor per content hash; the AAA dup 30 min later was dropped
+    assert got.select("content_md5").distinct().count() == 2
+    assert got.count() == 2
+    urls = {r["url"] for r in got.collect()}
+    assert "https://a.example/2" not in urls
+    shutil.rmtree(base, ignore_errors=True)
