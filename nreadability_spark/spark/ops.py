@@ -364,21 +364,23 @@ QUALITY_SCORE_SQL = f"""
 _SIMHASH_BITS = 60
 
 
-def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc simhash as a shuffle-free array projection: the token hash
-    array is materialized once per row, the 60 bit-sums fold over it with
-    ``aggregate`` — no explode, no groupBy, so the whole operator is a
-    single scan+project stage at any corpus size (the exploded-token
-    variant shuffled ~2k rows per document)."""
+def _simhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, th) with th the per-doc int64 token-hash array, computed
+    JVM-side (md5/conv — byte-identical to the oracle's hash). The
+    non-empty guard runs BEFORE the projection as a cheap regex (>=1
+    non-whitespace char <=> >=1 token, same Java \\s class as the
+    split): a `where(size(th) > 0)` AFTER the projection gets pushed
+    down with the whole transform+split substituted into the Filter,
+    re-tokenizing every row a second time."""
     corpus = _corpus(spark, sf_dir)
-    # the non-empty guard runs BEFORE the projection as a cheap regex
-    # (>=1 non-whitespace char <=> >=1 token, same Java \s class as the
-    # split): a `where(size(th) > 0)` AFTER the projection gets pushed
-    # down with the whole transform+split substituted into the Filter,
-    # re-tokenizing every row a second time
-    base = corpus.where(r"text rlike '\\S'").selectExpr(
+    return corpus.where(r"text rlike '\\S'").selectExpr(
         "doc_id",
         f"transform({_TOKENS}, t -> {_H60.format(col='t')}) as th")
+
+
+def _simhash_fold_expr(base: DataFrame) -> DataFrame:
+    """Expression-form majority fold (60 interpreted ``aggregate`` lambdas
+    per row) — kept as the A/B reference for the Arrow kernel."""
     bit_aggs = [
         f"aggregate(th, 0L, (acc, h) -> acc + (case when (h & {1 << b}) != 0"
         f" then 1 else -1 end)) as b{b}"
@@ -390,6 +392,54 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim = term if sim is None else (sim + term)
     return bits.select(F.col("doc_id").cast("long").alias("doc_id"),
                        sim.cast("long").alias("simhash"))
+
+
+def _simhash_fold_arrow(base: DataFrame) -> DataFrame:
+    """Vectorized majority fold over Arrow batches (the
+    ``_assign_cells_arrow`` pattern): per bit b, bit is set iff
+    #\\{h: bit b of h set\\} > len/2 — identical to the expression fold's
+    ``sum(±1) > 0`` on exact int64 hashes, so the output is
+    byte-identical (A/B-locked in tests/test_ops.py). One numpy pass per
+    bit over the flattened hash buffer instead of 60 interpreted lambda
+    folds per row; still a narrow scan->project stage."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fold(batches):
+        for b in batches:
+            ids = b.column("doc_id")
+            th = b.column("th")
+            off = th.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = th.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = vals[off[0]:off[-1]]
+            offsets = off - off[0]
+            lens = np.diff(offsets)
+            n = len(lens)
+            sim = np.zeros(n, dtype=np.int64)
+            if flat.size:
+                # rows are non-empty by the rlike guard; reduceat is only
+                # well-defined for positive-length segments
+                assert lens.min() > 0
+                half2 = lens  # majority: 2*ones > len
+                for bit in range(_SIMHASH_BITS):
+                    ones = np.add.reduceat((flat >> bit) & 1, offsets[:-1])
+                    sim |= ((2 * ones > half2).astype(np.int64) << bit)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sim, type=pa.int64())],
+                names=["doc_id", "simhash"])
+
+    return base.mapInArrow(fold, "doc_id bigint, simhash bigint")
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc simhash, shuffle-free: the token hash array is
+    materialized once per row JVM-side, then the 60-bit majority fold
+    runs as a vectorized numpy pass over Arrow batches — no explode, no
+    groupBy, a single narrow stage at any corpus size (the
+    exploded-token variant shuffled ~2k rows per document; the
+    interpreted ``aggregate``-lambda fold it replaces is A/B-locked
+    byte-identical)."""
+    return _simhash_fold_arrow(_simhash_base(spark, sf_dir))
 
 
 def _simhash_sql_duck() -> str:

@@ -162,3 +162,16 @@ def test_dedup_lines_join_modes_agree(spark):
     sh = sorted(tuple(r) for r in
                 dedup_lines(spark, SF_DIR, max_broadcast_rows=0).collect())
     assert bc == sh
+
+
+def test_simhash_arrow_fold_matches_expression_fold(spark):
+    """The vectorized Arrow majority fold must be byte-identical to the
+    interpreted expression fold it replaced (same JVM-computed hash
+    array in, same 60-bit majority rule)."""
+    from nreadability_spark.spark.ops import (_simhash_base,
+                                              _simhash_fold_arrow,
+                                              _simhash_fold_expr)
+    base = _simhash_base(spark, SF_DIR)
+    arrow = sorted(tuple(r) for r in _simhash_fold_arrow(base).collect())
+    expr = sorted(tuple(r) for r in _simhash_fold_expr(base).collect())
+    assert arrow == expr
