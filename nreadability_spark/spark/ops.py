@@ -632,18 +632,10 @@ _SHINGLES_DUCK = ("case when len({t}) >= 3 then list_transform(range(1, len({t})
                   "else [] end").format(t=_TOKENS_DUCK)
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str,
-                       demo_dups: bool = True) -> DataFrame:
-    """MinHash as a shuffle-free array projection: hash every shingle once
-    into a per-row array, then take 16 permuted ``array_min``s — no
-    explode, no groupBy. The exploded variant shuffled one row per
-    (doc, shingle) — the engine's biggest shuffle; this is a single
-    scan+project stage at any corpus size. min() is insensitive to
-    duplicate shingles, so no distinct is needed either.
-
-    ``demo_dups=False`` reads ``documents`` as-is instead of the
-    dup-injected demo corpus — the shape production callers
-    (jobs/build_corpus.py) want; the driver oracle pins the default."""
+def _minhash_base(spark: SparkSession, sf_dir: str,
+                  demo_dups: bool = True) -> DataFrame:
+    """(doc_id, sha) with sha the JVM-computed shingle-hash array
+    (md5/conv mod — byte-identical to the oracle's hash)."""
     corpus = (_corpus(spark, sf_dir) if demo_dups
               else _read(spark, sf_dir, "documents")
               .select("doc_id", "text"))
@@ -657,19 +649,86 @@ def minhash_signatures(spark: SparkSession, sf_dir: str,
     # `where(size(sha) > 0)` AFTER the stack gets pushed down with the
     # whole shingle chain substituted into the Filter (7 extra split
     # evaluations per input row)
-    base = corpus.where(
+    return corpus.where(
         r"text rlike '\\S+\\s+\\S+\\s+\\S'"
     ).selectExpr("doc_id", f"{_TOKENS} as toks").selectExpr(
         "doc_id", f"{_SHINGLES_OF_TOKS} as sh_arr"
     ).selectExpr(
-        "doc_id",
+        "cast(doc_id as bigint) as doc_id",
         f"transform(sh_arr, s -> {_H60.format(col='s')} "
         f"% {_SHINGLE_MOD}) as sha")
+
+
+def _minhash_fold_expr(base: DataFrame) -> DataFrame:
+    """Expression-form fold (16 interpreted array_min(transform) per
+    row) — kept as the A/B reference for the Arrow kernel."""
     mins = [
         f"cast(array_min(transform(sha, x -> (x * {2 * i + 3} + {7 * i + 1})"
         f" % {_MINHASH_MOD})) as bigint) as m{i}"
         for i in range(_N_MINHASH)]
-    return base.selectExpr("cast(doc_id as bigint) as doc_id", *mins)
+    return base.selectExpr("doc_id", *mins)
+
+
+def _minhash_fold_arrow(base: DataFrame) -> DataFrame:
+    """Vectorized minhash fold over Arrow batches: one
+    ``np.minimum.reduceat`` per permutation over the flattened
+    JVM-computed shingle-hash buffer instead of 16 interpreted lambda
+    transforms per row. Exact int64 (sha < 1000003, multiplier <= 35:
+    products stay far below 2^63), so output is byte-identical to the
+    expression fold (A/B-locked)."""
+    import numpy as np
+    import pyarrow as pa
+    coeffs = [(2 * i + 3, 7 * i + 1) for i in range(_N_MINHASH)]
+    names = ["doc_id"] + [f"m{i}" for i in range(_N_MINHASH)]
+    schema = "doc_id bigint, " + ", ".join(
+        f"m{i} bigint" for i in range(_N_MINHASH))
+
+    def fold(batches):
+        for b in batches:
+            ids = b.column("doc_id")
+            sha = b.column("sha")
+            off = sha.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = sha.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = vals[off[0]:off[-1]]
+            offsets = off - off[0]
+            lens = np.diff(offsets)
+            cols = []
+            if flat.size:
+                # rows have >=1 shingle by the rlike guard
+                assert lens.min() > 0
+                for a, c in coeffs:
+                    perm = (flat * a + c) % _MINHASH_MOD
+                    cols.append(np.minimum.reduceat(perm, offsets[:-1]))
+            else:
+                cols = [np.zeros(0, dtype=np.int64)] * _N_MINHASH
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array(c, type=pa.int64()) for c in cols],
+                names=names)
+
+    return base.mapInArrow(fold, schema)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str,
+                       demo_dups: bool = True) -> DataFrame:
+    """MinHash as a shuffle-free array projection: hash every shingle
+    once into a per-row array, then take 16 permuted ``array_min``s — no
+    explode, no groupBy, a single scan+project stage at any corpus size
+    (the exploded variant shuffled one row per (doc, shingle) — the
+    engine's biggest shuffle). min() is insensitive to duplicate
+    shingles, so no distinct is needed either.
+
+    The fold stays EXPRESSION-form by measurement: unlike simhash's 60
+    bit folds (where the Arrow kernel wins), 16 array_mins over short
+    shingle arrays are cheaper in the JVM than the Arrow serde of the
+    hash arrays costs — sf0.1 warm 0.51 s expr vs 1.09 s Arrow
+    (``_minhash_fold_arrow`` is retained, A/B-locked byte-identical,
+    for corpora where per-doc shingle counts are much larger).
+
+    ``demo_dups=False`` reads ``documents`` as-is instead of the
+    dup-injected demo corpus — the shape production callers
+    (jobs/build_corpus.py) want; the driver oracle pins the default."""
+    return _minhash_fold_expr(_minhash_base(spark, sf_dir,
+                                            demo_dups=demo_dups))
 
 
 def _minhash_sql_duck() -> str:

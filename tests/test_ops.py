@@ -175,3 +175,15 @@ def test_simhash_arrow_fold_matches_expression_fold(spark):
     arrow = sorted(tuple(r) for r in _simhash_fold_arrow(base).collect())
     expr = sorted(tuple(r) for r in _simhash_fold_expr(base).collect())
     assert arrow == expr
+
+
+def test_minhash_arrow_fold_matches_expression_fold(spark):
+    """The vectorized minimum.reduceat fold must be byte-identical to
+    the interpreted array_min fold it replaced."""
+    from nreadability_spark.spark.ops import (_minhash_base,
+                                              _minhash_fold_arrow,
+                                              _minhash_fold_expr)
+    base = _minhash_base(spark, SF_DIR)
+    arrow = sorted(tuple(r) for r in _minhash_fold_arrow(base).collect())
+    expr = sorted(tuple(r) for r in _minhash_fold_expr(base).collect())
+    assert arrow == expr
