@@ -2213,6 +2213,51 @@ STRATIFIED_SAMPLE_SQL = f"""
 """
 
 
+_SAMPLE_FIXED_K = 50
+
+
+def stratified_sample_fixed(spark: SparkSession, sf_dir: str,
+                            k: int = _SAMPLE_FIXED_K) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample: EXACTLY ``k`` docs
+    per language (fewer only if the stratum is smaller), chosen by
+    ranking on the salted md5 die — the "give me 10k docs per language
+    for the eval set" requirement rate-based sampling can't express.
+    Hash-ordered, so the selection is reproducible across runs, engines,
+    and retries, and adding documents to OTHER strata never changes a
+    stratum's picks.
+
+    Scale shape: one exchange on the language key, and the
+    row_number<=k filter compiles to WindowGroupLimit with a PARTIAL
+    map-side pass (the host_cap shape) — every map task pre-prunes to
+    its own top-k per language, so the exchange moves <=k rows per
+    (lang, map-partition) and no stratum ever sorts its full crawl
+    footprint in one task."""
+    docs = _read(spark, sf_dir, "documents")
+    h = _H60.format(
+        col=f"concat(cast(doc_id as string), '{_SAMPLE_SALT}')")
+    w = Window.partitionBy(F.expr("coalesce(lang, '')")) \
+        .orderBy(F.expr(h).asc(), F.col("doc_id").asc())
+    return (docs.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .selectExpr("cast(doc_id as bigint) as doc_id",
+                        "coalesce(lang, '') as lang",
+                        "cast(rk as bigint) as rk"))
+
+
+STRATIFIED_SAMPLE_FIXED_SQL = f"""
+    select cast(doc_id as bigint) as doc_id, lang, cast(rk as bigint) as rk
+    from (
+      select doc_id, coalesce(lang, '') as lang,
+             row_number() over (
+               partition by coalesce(lang, '')
+               order by {_H60_DUCK.format(
+                   col="doc_id::varchar || '" + _SAMPLE_SALT + "'")} asc,
+                        doc_id asc) as rk
+      from documents)
+    where rk <= {_SAMPLE_FIXED_K}
+"""
+
+
 # Target language mixture in per-mille (must sum to 1000): the shares a
 # training run wants, not the shares the crawl has.
 _MIX_TARGET = {"en": 400, "zh": 150, "es": 150, "de": 150, "fr": 150}
@@ -2592,6 +2637,8 @@ SQL_OPS = {
     "lm_bigram_score": (lm_bigram_score, LM_BIGRAM_SCORE_SQL),
     "gopher_quality": (gopher_quality, GOPHER_QUALITY_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "stratified_sample_fixed": (stratified_sample_fixed,
+                                STRATIFIED_SAMPLE_FIXED_SQL),
     "lang_mix_weights": (lang_mix_weights, LANG_MIX_WEIGHTS_SQL),
     # pinned stream counts: the static oracle SQL must see the same knob
     "pack_sequences": (_partial(pack_sequences, n_streams=_PACK_STREAMS),

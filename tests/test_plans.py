@@ -464,3 +464,15 @@ def test_lm_bigram_score_model_joins_by_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
     assert "partial_count" in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_stratified_sample_fixed_is_partial_topk(spark):
+    """The fixed-K sampler must compile like host_cap: one language-key
+    exchange with a Partial WindowGroupLimit before it, so no stratum
+    sorts its full footprint in one task."""
+    from nreadability_spark.spark.ops import stratified_sample_fixed
+    plan = plan_of(stratified_sample_fixed(spark, SF_DIR))
+    assert node_count(plan, "Exchange") == 1
+    import re
+    assert re.search(r"WindowGroupLimit[\s\S]*?row_number\(\), \d+, Partial",
+                     plan)
