@@ -121,6 +121,7 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "training_mix", "quality_repetition", "pii_redact",
                  "decontaminate", "url_normalize", "events_asof",
                  "events_range_counts", "stratified_sample",
+                 "stratified_sample_fixed",
                  "lang_mix_weights", "pack_sequences", "pack_sequences64",
                  "dedup_lines", "dedup_lines_within_doc", "lm_bigram_score",
                  "gopher_quality"):

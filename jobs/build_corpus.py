@@ -133,6 +133,9 @@ def main() -> None:
                     help="pages Iceberg table / parquet path, or an sf dir "
                          "with --synthesize")
     ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--warc", action="store_true",
+                    help="treat --input as a directory/glob of WARC files\n"
+                         "(Common Crawl segment layout)")
     ap.add_argument("--synthesize", action="store_true",
                     help="treat --input as a testdata sf dir and synthesize "
                          "the pages table from its documents")
@@ -154,6 +157,9 @@ def main() -> None:
         if args.synthesize:
             from nreadability_spark.spark.pages import synthesize_pages
             pages = synthesize_pages(spark, args.input)
+        elif args.warc:
+            from nreadability_spark.spark.sources import read_pages_warc
+            pages = read_pages_warc(spark, args.input)
         else:
             pages = read_pages(spark, args.input)
         print(json.dumps(build_corpus(spark, pages, args.output)))

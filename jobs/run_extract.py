@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", default=None,
                     help="reliable-checkpoint dir for iterative ops "
                          "(sets spark.nreadability.checkpointDir)")
+    ap.add_argument("--warc", action="store_true",
+                    help="treat --input as a directory/glob of WARC files\n"
+                         "(Common Crawl segment layout)")
     ap.add_argument("--synthesize", action="store_true",
                     help="treat --input as a testdata sf dir and synthesize "
                          "the pages table from its documents")
@@ -54,6 +57,9 @@ def main() -> None:
         if args.synthesize:
             from nreadability_spark.spark.pages import synthesize_pages
             pages = synthesize_pages(spark, args.input)
+        elif args.warc:
+            from nreadability_spark.spark.sources import read_pages_warc
+            pages = read_pages_warc(spark, args.input)
         else:
             pages = read_pages(spark, args.input)
         summary = run_job(
