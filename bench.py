@@ -124,7 +124,7 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "stratified_sample_fixed",
                  "lang_mix_weights", "pack_sequences", "pack_sequences64",
                  "dedup_lines", "dedup_lines_within_doc", "lm_bigram_score",
-                 "gopher_quality"):
+                 "host_pagerank", "gopher_quality"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

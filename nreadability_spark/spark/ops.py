@@ -2028,6 +2028,93 @@ URL_NORMALIZE_SQL = f"""
 """
 
 
+# --- host-graph PageRank (iterative weighted propagation) -----------------------
+
+_PR_ITERS = 10
+_PR_INIT = 1_000_000      # ppm mass per host
+_PR_BASE = 150_000        # (1 - d) * 1e6 with damping d = 0.85
+# deterministic synthetic host link graph derived from documents: each
+# doc contributes an edge home-host -> linked-host (self-loops dropped).
+# dst mixes in doc_id div 97 so a host links MULTIPLE targets (a pure
+# affine map mod 97 would be a permutation — uniform degrees, uniform
+# PageRank, nothing to test)
+_PR_EDGE = ("select distinct cast(doc_id % 97 as bigint) as src, "
+            "cast((doc_id // 97 + 31 * doc_id + 7) % 97 as bigint) as dst "
+            "from documents "
+            "where doc_id % 97 != (doc_id // 97 + 31 * doc_id + 7) % 97")
+
+
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank over a deterministic link graph, in EXACT
+    integer ppm arithmetic (floor-divided contributions, so both engines
+    agree bit-for-bit): the canonical iterative weighted-propagation
+    dataflow beyond connected components — crawl prioritization / seed
+    scoring runs exactly this shape over the real host link graph.
+
+    Scale shape: per iteration one join of ranks onto edges (rank table
+    keyed by host — small relative to edges, broadcastable at host
+    granularity; at page granularity the same loop shuffle-joins on the
+    partitioned edge key) and one dst-key aggregation; lineage is cut
+    every round via ``_cut_lineage`` exactly like dedup_clusters'
+    fixpoint, so the plan never grows with the iteration count. The
+    fixed ``_PR_ITERS`` unrolls into the DuckDB oracle as chained CTEs
+    — same floor arithmetic, hash-identical output."""
+    docs = _read(spark, sf_dir, "documents")
+    edges = _cut_lineage(
+        docs.selectExpr(
+            "cast(doc_id % 97 as bigint) as src",
+            "cast((doc_id div 97 + 31 * doc_id + 7) % 97 as bigint) as dst")
+        .where("src != dst").distinct())
+    nodes = (edges.selectExpr("src as host")
+             .union(edges.selectExpr("dst as host")).distinct())
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = _cut_lineage(nodes.selectExpr(
+        "host", f"cast({_PR_INIT} as bigint) as pr"))
+    # floor() everywhere a division happens: Spark's cast(double as
+    # bigint) truncates but DuckDB's ROUNDS, so the truncation must be
+    # explicit for the engines to agree bit-for-bit
+    for _ in range(_PR_ITERS):
+        contrib = (edges
+                   .join(ranks.selectExpr("host as src", "pr"), "src")
+                   .join(outdeg, "src")
+                   .selectExpr("dst as host",
+                               "cast(floor(pr / deg) as bigint) as c")
+                   .groupBy("host")
+                   .agg(F.sum("c").alias("contrib")))
+        ranks = _cut_lineage(
+            nodes.join(contrib, "host", "left")
+            .selectExpr("host",
+                        f"cast({_PR_BASE} + cast(floor(85 * "
+                        "coalesce(contrib, 0) / 100) as bigint) "
+                        "as bigint) as pr"))
+    return ranks.selectExpr("cast(host as bigint) as host",
+                            "cast(pr as bigint) as pr")
+
+
+def _host_pagerank_sql() -> str:
+    ctes = [f"e as ({_PR_EDGE})",
+            "n as (select src as host from e union select dst from e)",
+            "d as (select src, count(*) as deg from e group by 1)",
+            f"pr0 as (select host, cast({_PR_INIT} as bigint) as pr from n)"]
+    for i in range(_PR_ITERS):
+        ctes.append(f"""pr{i + 1} as (
+          select n.host,
+                 cast({_PR_BASE} + cast(floor(85 * coalesce(c.contrib, 0)
+                      / 100) as bigint) as bigint) as pr
+          from n left join (
+            select e.dst as host,
+                   sum(cast(floor(p.pr / d.deg) as bigint)) as contrib
+            from e join pr{i} p on e.src = p.host
+            join d on e.src = d.src
+            group by 1) c on n.host = c.host)""")
+    return ("with " + ",\n".join(ctes) +
+            f"\nselect cast(host as bigint) as host, "
+            f"cast(pr as bigint) as pr from pr{_PR_ITERS}")
+
+
+HOST_PAGERANK_SQL = _host_pagerank_sql()
+
+
 # --- as-of / range joins (time-series ops Spark lacks natively) -----------------
 
 _EVENTS_BASE_SPARK = (
@@ -2649,6 +2736,7 @@ SQL_OPS = {
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
+    "host_pagerank": (host_pagerank, HOST_PAGERANK_SQL),
     "events_asof": (events_asof, EVENTS_ASOF_SQL),
     "events_range_counts": (events_range_counts, EVENTS_RANGE_COUNTS_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),

@@ -187,3 +187,21 @@ def test_minhash_arrow_fold_matches_expression_fold(spark):
     arrow = sorted(tuple(r) for r in _minhash_fold_arrow(base).collect())
     expr = sorted(tuple(r) for r in _minhash_fold_expr(base).collect())
     assert arrow == expr
+
+
+def test_host_pagerank_discriminates_and_conserves(spark):
+    """The rank vector must differentiate hosts (a uniform vector means
+    the propagation never ran) and stay within the damped-mass bounds
+    every true PageRank iteration preserves."""
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.ops import _PR_BASE, host_pagerank
+    pr = host_pagerank(spark, SF_DIR)
+    row = pr.agg(F.countDistinct("pr").alias("d"),
+                 F.min("pr").alias("lo"),
+                 F.count("*").alias("n"),
+                 F.sum("pr").alias("total")).collect()[0]
+    assert row["d"] > 1
+    assert row["lo"] >= _PR_BASE
+    # total damped mass can't exceed the undamped total (floor() only
+    # ever removes mass)
+    assert row["total"] <= row["n"] * 1_000_000

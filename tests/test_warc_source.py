@@ -71,3 +71,18 @@ def test_warc_feeds_extraction_end_to_end(spark, tmp_path_factory):
     assert a["extracted"] and a["error"] is None
     assert a["title"] == "WARC Article"
     assert "long readable paragraph" in a["content_text"]
+
+
+def test_warc_parser_fuzz_no_crash():
+    """The record parser must never crash on arbitrary bytes, and every
+    yielded record must have a non-empty uri (hypothesis fuzz)."""
+    from hypothesis import given, settings, strategies as st
+    from nreadability_spark.spark.sources import _parse_warc_records
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=2048))
+    def run(data):
+        for uri, date, html in _parse_warc_records(data):
+            assert uri
+            assert isinstance(html, bytes)
+    run()
