@@ -111,6 +111,16 @@ def _extract_next_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("url", "next_page_url")
 
 
+def _extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph edges: per page, distinct anchor targets resolved with
+    the kernel's ResolveElementUrl parity, with occurrence counts — the
+    crawl-frontier / host-graph input."""
+    from nreadability_spark.spark.job import extract_links
+    from nreadability_spark.spark.pages import synthesize_pages
+    pages = synthesize_pages(spark, sf_dir, include_fixtures=False)
+    return extract_links(spark, pages)
+
+
 def _stitch_multipage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-page chain discovery (iterative next-page join) + per-chain
     stitching with the same kernel (W1 at dataset scale)."""
@@ -166,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": _extract_metrics,
         "extract_next_pages": _extract_next_pages,
         "extract_with_transformers": _extract_with_transformers,
+        "extract_links": _extract_links,
         "stitch_multipage": _stitch_multipage,
         "media_features": _media_features,
         "media_frames": _media_frames,
@@ -190,6 +201,7 @@ def _kernel_oracles() -> dict[str, str]:
             "materialize them")
     full = os.path.join(d, "extract_full.parquet")
     hooked = os.path.join(d, "extract_hooked.parquet")
+    links = os.path.join(d, "extract_links.parquet")
     stitch = os.path.join(d, "stitch_multipage.parquet")
     feats = os.path.join(d, "media_features.parquet")
     frames = os.path.join(d, "media_frames.parquet")
@@ -217,6 +229,9 @@ def _kernel_oracles() -> dict[str, str]:
         "extract_with_transformers": f"""
             select url, extracted, title, content_md5, content_len, failed
             from read_parquet('{hooked}')""",
+        "extract_links": f"""
+            select url, link_url, cast(n as bigint) as n
+            from read_parquet('{links}')""",
         "stitch_multipage": f"""
             select root_url, extracted, title, n_pages, content_md5
             from read_parquet('{stitch}')""",

@@ -273,6 +273,77 @@ def run_extraction(spark: SparkSession, pages: DataFrame,
     return df.mapInPandas(fn, schema)
 
 
+LINKS_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("link_url", StringType()),
+    StructField("n", LongType()),
+])
+
+
+def extract_links_row(url: Optional[str],
+                      html: Optional[bytes]) -> list[tuple[str, int]]:
+    """All anchor hrefs of one page, resolved against the page url with
+    the kernel's own ResolveElementUrl parity (uri.py — the same
+    resolution the transcoder's C1 stage applies), counted per distinct
+    resolved target. Parse failures yield no links (the extraction row
+    already records the error). This is the link-graph builder: its
+    output joined on (src_host, dst_host) feeds crawl-frontier scoring
+    and host_pagerank with real edges."""
+    from nreadability_spark.readability.encoding import decode_html_bytes
+    from nreadability_spark.readability.parser import build_document
+    from nreadability_spark.readability.uri import resolve_element_url
+    try:
+        text = decode_html_bytes(bytes(html)) if html is not None else ""
+        doc = build_document(text)
+    except Exception:
+        return []
+    counts: dict[str, int] = {}
+    for a in doc.get_elements_by_tag_name("a"):
+        href = (a.get_attribute("href") or "").strip()
+        if not href or href.startswith(("#", "javascript:")):
+            continue
+        target = resolve_element_url(href, url or "")
+        counts[target] = counts.get(target, 0) + 1
+    return sorted(counts.items())
+
+
+def _links_batches_arrow(batches):
+    """mapInArrow generator: RecordBatch(url, html) -> exploded
+    RecordBatch(url, link_url, n) — one output row per distinct resolved
+    link per page."""
+    import pyarrow as pa
+    sys.setrecursionlimit(40000)
+    schema = pa.schema([("url", pa.string()), ("link_url", pa.string()),
+                        ("n", pa.int64())])
+    for rb in batches:
+        urls = rb.column(0).to_pylist()
+        htmls = rb.column(1).to_pylist()
+        out: dict[str, list] = {"url": [], "link_url": [], "n": []}
+        for u, h in zip(urls, htmls):
+            for target, n in extract_links_row(u, h):
+                out["url"].append(u)
+                out["link_url"].append(target)
+                out["n"].append(n)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out["url"], pa.string()),
+             pa.array(out["link_url"], pa.string()),
+             pa.array(out["n"], pa.int64())], schema=schema)
+
+
+def extract_links(spark: SparkSession, pages: DataFrame,
+                  num_partitions: Optional[int] = None) -> DataFrame:
+    """pages(url, html) -> (url, link_url, n) link-graph edges, same
+    partitioning contract as run_extraction (salted exchange unless the
+    corpus is pre-salted and num_partitions=0)."""
+    ensure_package_shipped(spark)
+    df = pages.select("url", "html")
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 4
+    if num_partitions:
+        df = df.repartition(num_partitions, F.xxhash64("url"))
+    return df.mapInArrow(_links_batches_arrow, LINKS_SCHEMA)
+
+
 def _assert_partitioned_layout(path: str, what: str) -> None:
     """Fail loudly when a sink directory holds flat parquet files from a
     pre-run_id-partitioned layout: mixing flat files with run_id=

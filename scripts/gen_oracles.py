@@ -116,6 +116,25 @@ def gen_extract_hooked(docs: list[tuple[int, str]]) -> pa.Table:
     })
 
 
+def gen_extract_links(docs: list[tuple[int, str]]) -> pa.Table:
+    """Kernel link-graph edges: per page, distinct resolved anchor
+    targets with occurrence counts (extract_links_row run locally)."""
+    from nreadability_spark.spark.job import extract_links_row
+    cols: dict[str, list] = {"url": [], "link_url": [], "n": []}
+    for doc_id, text in docs:
+        url = template_url_py(int(doc_id))
+        html = template_html_py(int(doc_id), text).encode("utf-8")
+        for target, n in extract_links_row(url, html):
+            cols["url"].append(url)
+            cols["link_url"].append(target)
+            cols["n"].append(n)
+    return pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "link_url": pa.array(cols["link_url"], pa.string()),
+        "n": pa.array(cols["n"], pa.int64()),
+    })
+
+
 def gen_stitch(docs: list[tuple[int, str]], n_pages: int = 3,
                every: int = 5, max_pages: int = 30) -> pa.Table:
     """Local replay of stitch_multipage: kernel next-page edges, BFS from
@@ -226,6 +245,7 @@ def generate(sf_dir: str) -> dict[str, str]:
     for name, table in (
             ("extract_full", gen_extract_full(docs)),
             ("extract_hooked", gen_extract_hooked(docs)),
+            ("extract_links", gen_extract_links(docs)),
             ("stitch_multipage", gen_stitch(docs)),
             ("media_features", gen_media_features(docs)),
             ("media_frames", gen_media_frames(docs))):

@@ -188,3 +188,24 @@ def test_pandas_fallback_extractors_match_arrow_contract():
     want = hashlib.md5(full["content"][0].encode("utf-8")).hexdigest()
     assert fp["content_md5"][0] == want
     assert fp["content_len"][0] == len(full["content"][0])
+
+
+def test_extract_links_matches_local_kernel(spark, pages):
+    """Spark-distributed link extraction must equal the local kernel run
+    page-for-page (same parser, same ResolveElementUrl), and resolve
+    relative hrefs against the page url."""
+    from nreadability_spark.spark.job import extract_links, extract_links_row
+    out = extract_links(spark, pages).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["url"], []).append((r["link_url"], r["n"]))
+    local_pages = [(r["url"], bytes(r["html"])) for r in
+                   pages.select("url", "html").collect()]
+    for u, h in local_pages:
+        want = extract_links_row(u, h)
+        assert sorted(got.get(u, [])) == want, u
+    # links resolved absolute against the page host (mailto kept as-is,
+    # matching ResolveElementUrl)
+    assert all("://" in link or link.startswith("mailto:")
+               for links in got.values() for link, _n in links)
+    assert any(links for links in got.values())
