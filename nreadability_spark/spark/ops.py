@@ -751,22 +751,67 @@ def _minhash_sql_duck() -> str:
 MINHASH_SIGNATURES_SQL = _minhash_sql_duck()
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
-                      demo_dups: bool = True) -> DataFrame:
-    """LSH candidate pairs: 4 bands x 4 rows over the minhash signature."""
-    sig = minhash_signatures(spark, sf_dir, demo_dups=demo_dups)
+def _minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_sig): 4 bands x 4 rows over the signature."""
     band_exprs = []
     for band in range(4):
         cols = ", ".join(f"m{band * 4 + j}" for j in range(4))
         band_exprs.append(
             f"struct({band} as band_id, concat_ws(',', {cols}) as band_sig)")
-    bands = sig.selectExpr(
+    return sig.selectExpr(
         "doc_id", f"explode(array({', '.join(band_exprs)})) as band"
     ).selectExpr("doc_id", "band.band_id", "band.band_sig")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
+                      demo_dups: bool = True) -> DataFrame:
+    """LSH candidate pairs: 4 bands x 4 rows over the minhash signature."""
+    sig = minhash_signatures(spark, sf_dir, demo_dups=demo_dups)
     # one row per (doc, band): materialize once instead of recomputing
     # the shingle explode + 16 min-aggs per consumer (see dedup_simhash)
-    bands = _cut_lineage(bands)
+    bands = _cut_lineage(_minhash_bands(sig))
     bands = _cap_buckets(bands)
+    a = bands.selectExpr("doc_id as doc1", "band_id", "band_sig")
+    b = bands.selectExpr("doc_id as doc2", "band_id", "band_sig")
+    return (a.join(b, ["band_id", "band_sig"])
+            .where(F.col("doc1") < F.col("doc2"))
+            .select(F.col("doc1").cast("long"), F.col("doc2").cast("long"))
+            .distinct())
+
+
+def minhash_bands_build(spark: SparkSession, sf_dir: str,
+                        table: str = "minhash_bands",
+                        n_buckets: int = 16) -> None:
+    """Materialize the (capped) minhash band table BUCKETED on the join
+    key — the same co-located-join storage layout simhash_bands_build
+    proves out: both sides of the banded self-join read pre-bucketed
+    files and the join runs with ZERO exchanges (plan-locked). At 100 TB
+    the signature pass runs once per corpus snapshot and every dedup /
+    clustering consumer joins against the layout for free."""
+    bands = _cap_buckets(_minhash_bands(
+        minhash_signatures(spark, sf_dir)))
+    spark.sql(f"drop table if exists {table}")
+    try:
+        import shutil
+        wh = spark.conf.get("spark.sql.warehouse.dir",
+                            "spark-warehouse").replace("file:", "")
+        shutil.rmtree(os.path.join(wh, table.split(".")[-1]),
+                      ignore_errors=True)
+    except Exception:
+        pass
+    (bands.write.mode("overwrite")
+     .bucketBy(n_buckets, "band_id", "band_sig")
+     .sortBy("band_id", "band_sig")
+     .saveAsTable(table))
+
+
+def dedup_minhash_bucketed(spark: SparkSession,
+                           table: str = "minhash_bands") -> DataFrame:
+    """The LSH candidate-pair self-join over the bucketed band table
+    built by ``minhash_bands_build``: same rows as dedup_minhash_lsh,
+    but the join reads co-located buckets — no exchange on either
+    side."""
+    bands = spark.table(table)
     a = bands.selectExpr("doc_id as doc1", "band_id", "band_sig")
     b = bands.selectExpr("doc_id as doc2", "band_id", "band_sig")
     return (a.join(b, ["band_id", "band_sig"])

@@ -476,3 +476,28 @@ def test_stratified_sample_fixed_is_partial_topk(spark):
     import re
     assert re.search(r"WindowGroupLimit[\s\S]*?row_number\(\), \d+, Partial",
                      plan)
+
+
+def test_minhash_bucketed_band_join_has_no_exchange(spark):
+    """Same co-located-layout guarantee for the minhash LSH path: the
+    bucketed band table makes the candidate-pair self-join exchange-free
+    on both sides, with rows identical to dedup_minhash_lsh."""
+    from nreadability_spark.spark.ops import (dedup_minhash_bucketed,
+                                              dedup_minhash_lsh,
+                                              minhash_bands_build)
+    minhash_bands_build(spark, SF_DIR, table="t_minhash_bands_plan")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup_minhash_bucketed(spark, table="t_minhash_bands_plan")
+        plan = plan_of(df)
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount" in plan
+        assert node_count(plan, "Exchange") == 1  # only the distinct's
+        assert "BroadcastExchange" not in plan
+        got = sorted(map(tuple, df.collect()))
+        base = sorted(map(tuple, dedup_minhash_lsh(spark, SF_DIR)
+                          .collect()))
+        assert got == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        spark.sql("drop table if exists t_minhash_bands_plan")
