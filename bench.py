@@ -120,7 +120,8 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "quality_score", "lang_id", "pages_by_host", "host_cap",
                  "training_mix", "quality_repetition", "pii_redact",
                  "decontaminate", "url_normalize", "events_asof",
-                 "events_range_counts", "stratified_sample",
+                 "events_range_counts", "events_funnel",
+                 "stratified_sample",
                  "stratified_sample_fixed",
                  "lang_mix_weights", "pack_sequences", "pack_sequences64",
                  "dedup_lines", "dedup_lines_within_doc", "lm_bigram_score",

@@ -2296,6 +2296,72 @@ EVENTS_RANGE_COUNTS_SQL = f"""
 """
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): per user,
+    the earliest time each step was reached STRICTLY AFTER the previous
+    step — the product-analytics query sessionization doesn't answer
+    (a click before the first view must not count). Rows are users who
+    reached step 1; steps counts how deep they got; t*_us are the
+    reach times in epoch micros (exact integers across engines).
+
+    Scale shape: one aggregation per step, each keyed on user_id, and
+    each step joins only the PREVIOUS step's (user_id, t) table — the
+    per-step tables shrink monotonically, every exchange keys on the
+    same high-cardinality user_id, and AQE reuses the partitioning
+    across the chain. No window over raw events, no cross-step row
+    amplification (the join is 1:N with the N side aggregated before
+    the next step)."""
+    ev = _read(spark, sf_dir, "events")
+    base = ev.selectExpr(
+        "user_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as ts_us")
+    s1 = (base.where(f"event_type = '{_FUNNEL_STEPS[0]}'")
+          .groupBy("user_id").agg(F.min("ts_us").alias("t1_us")))
+    s2 = (base.where(f"event_type = '{_FUNNEL_STEPS[1]}'")
+          .join(s1, "user_id")
+          .where("ts_us > t1_us")
+          .groupBy("user_id").agg(F.min("ts_us").alias("t2_us")))
+    s3 = (base.where(f"event_type = '{_FUNNEL_STEPS[2]}'")
+          .join(s2, "user_id")
+          .where("ts_us > t2_us")
+          .groupBy("user_id").agg(F.min("ts_us").alias("t3_us")))
+    return (s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+            .selectExpr(
+                "cast(user_id as bigint) as user_id",
+                "cast(1 + cast(t2_us is not null as int) + "
+                "cast(t3_us is not null as int) as bigint) as steps",
+                "cast(t1_us as bigint) as t1_us",
+                "cast(t2_us as bigint) as t2_us",
+                "cast(t3_us as bigint) as t3_us"))
+
+
+EVENTS_FUNNEL_SQL = f"""
+    with base as (
+      select user_id, event_type, epoch_us(ts) as ts_us from events),
+    s1 as (select user_id, min(ts_us) as t1_us from base
+           where event_type = '{_FUNNEL_STEPS[0]}' group by 1),
+    s2 as (select b.user_id, min(b.ts_us) as t2_us
+           from base b join s1 on b.user_id = s1.user_id
+           where b.event_type = '{_FUNNEL_STEPS[1]}' and b.ts_us > s1.t1_us
+           group by 1),
+    s3 as (select b.user_id, min(b.ts_us) as t3_us
+           from base b join s2 on b.user_id = s2.user_id
+           where b.event_type = '{_FUNNEL_STEPS[2]}' and b.ts_us > s2.t2_us
+           group by 1)
+    select cast(s1.user_id as bigint) as user_id,
+           cast(1 + (s2.t2_us is not null)::int
+                  + (s3.t3_us is not null)::int as bigint) as steps,
+           cast(s1.t1_us as bigint) as t1_us,
+           cast(s2.t2_us as bigint) as t2_us,
+           cast(s3.t3_us as bigint) as t3_us
+    from s1 left join s2 on s1.user_id = s2.user_id
+            left join s3 on s1.user_id = s3.user_id
+"""
+
+
 # --- corpus shaping: sampling / mixing / packing -------------------------------
 
 # Per-language keep rates in per-mille, the standard down-sample-the-head
@@ -2784,6 +2850,7 @@ SQL_OPS = {
     "host_pagerank": (host_pagerank, HOST_PAGERANK_SQL),
     "events_asof": (events_asof, EVENTS_ASOF_SQL),
     "events_range_counts": (events_range_counts, EVENTS_RANGE_COUNTS_SQL),
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "ann_ivf_topk64": (ann_ivf_topk64, ANN_IVF_TOPK64_SQL),

@@ -205,3 +205,22 @@ def test_host_pagerank_discriminates_and_conserves(spark):
     # total damped mass can't exceed the undamped total (floor() only
     # ever removes mass)
     assert row["total"] <= row["n"] * 1_000_000
+
+
+def test_events_funnel_order_is_strict(spark):
+    """Funnel depth must respect strict event ordering: every user with
+    steps >= 2 has t2 > t1, steps = 3 implies t3 > t2, and a user whose
+    only clicks precede their first view must not count as converted."""
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.ops import events_funnel
+    f = events_funnel(spark, SF_DIR)
+    bad = f.where("(t2_us is not null and t2_us <= t1_us) or "
+                  "(t3_us is not null and t3_us <= t2_us) or "
+                  "(steps >= 2) != (t2_us is not null) or "
+                  "(steps = 3) != (t3_us is not null)").count()
+    assert bad == 0
+    # sf0.001's dense synthetic events make every viewer convert; assert
+    # the bounds rather than drop-off (CORRECTNESS compares exact values)
+    dist = {r["steps"]: r["n"] for r in
+            f.groupBy("steps").agg(F.count("*").alias("n")).collect()}
+    assert dist and set(dist) <= {1, 2, 3} and 3 in dist
