@@ -2105,11 +2105,19 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed ``_PR_ITERS`` unrolls into the DuckDB oracle as chained CTEs
     — same floor arithmetic, hash-identical output."""
     docs = _read(spark, sf_dir, "documents")
-    edges = _cut_lineage(
-        docs.selectExpr(
-            "cast(doc_id % 97 as bigint) as src",
-            "cast((doc_id div 97 + 31 * doc_id + 7) % 97 as bigint) as dst")
+    edges = (docs.selectExpr(
+        "cast(doc_id % 97 as bigint) as src",
+        "cast((doc_id div 97 + 31 * doc_id + 7) % 97 as bigint) as dst")
         .where("src != dst").distinct())
+    return pagerank_edges(edges).selectExpr(
+        "cast(host as bigint) as host", "cast(pr as bigint) as pr")
+
+
+def pagerank_edges(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
+    """The general PageRank loop over any (src, dst) edge table
+    (host_pagerank's engine; jobs/build_linkgraph.py runs it over REAL
+    edges from extract_links). Returns (host, pr) in integer ppm."""
+    edges = _cut_lineage(edges.select("src", "dst").distinct())
     nodes = (edges.selectExpr("src as host")
              .union(edges.selectExpr("dst as host")).distinct())
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
@@ -2118,7 +2126,7 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floor() everywhere a division happens: Spark's cast(double as
     # bigint) truncates but DuckDB's ROUNDS, so the truncation must be
     # explicit for the engines to agree bit-for-bit
-    for _ in range(_PR_ITERS):
+    for _ in range(iters):
         contrib = (edges
                    .join(ranks.selectExpr("host as src", "pr"), "src")
                    .join(outdeg, "src")
@@ -2132,8 +2140,7 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"cast({_PR_BASE} + cast(floor(85 * "
                         "coalesce(contrib, 0) / 100) as bigint) "
                         "as bigint) as pr"))
-    return ranks.selectExpr("cast(host as bigint) as host",
-                            "cast(pr as bigint) as pr")
+    return ranks
 
 
 def _host_pagerank_sql() -> str:

@@ -209,3 +209,28 @@ def test_extract_links_matches_local_kernel(spark, pages):
     assert all("://" in link or link.startswith("mailto:")
                for links in got.values() for link, _n in links)
     assert any(links for links in got.values())
+
+
+def test_build_linkgraph_job(spark, pages, tmp_path_factory):
+    """The linkgraph job must produce a real host graph from the
+    synthesized corpus (cross-host links exist by construction) with
+    damped integer PageRank mass and a stable top list."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "jobs"))
+    from build_linkgraph import build_linkgraph
+    out = str(tmp_path_factory.mktemp("linkgraph"))
+    s = build_linkgraph(spark, pages, out, iters=5)
+    assert s["edges"] > 0 and s["hosts"] > 1
+    assert len(s["top_hosts"]) > 0
+    ranks = spark.read.parquet(os.path.join(out, "host_ranks.parquet"))
+    from pyspark.sql import functions as F
+    row = ranks.agg(F.min("pr").alias("lo"),
+                    F.countDistinct("pr").alias("d")).collect()[0]
+    assert row["lo"] >= 150_000
+    assert row["d"] >= 1
+    # deterministic: a second run yields identical ranks
+    out2 = str(tmp_path_factory.mktemp("linkgraph2"))
+    s2 = build_linkgraph(spark, pages, out2, iters=5)
+    assert s2["top_hosts"] == s["top_hosts"]
