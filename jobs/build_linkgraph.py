@@ -5,7 +5,7 @@ pipeline does:
 
     pages -> extract_links (kernel-parity anchor resolution)
           -> host-level edge aggregation (src_host -> dst_host, weight)
-          -> integer-ppm PageRank over the real host graph
+          -> weight-proportional integer-ppm PageRank over the host graph
           -> edges.parquet + host_ranks.parquet + one-line JSON summary
 
 The PageRank loop is ``ops.pagerank_edges`` — the same oracle-checked
@@ -34,7 +34,9 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-_HOST_RE = r"^[a-z]+://([^/]+)"
+# lowered-input host extraction: optional userinfo stripped, host
+# capture stops at port/path/query so one real host is one node
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
 
 
 def build_linkgraph(spark, pages, out_dir: str, iters: int = 10) -> dict:
@@ -46,9 +48,9 @@ def build_linkgraph(spark, pages, out_dir: str, iters: int = 10) -> dict:
     links = extract_links(spark, pages)
     edges = (links
              .select(
-                 F.lower(F.regexp_extract("url", _HOST_RE, 1))
+                 F.regexp_extract(F.lower("url"), _HOST_RE, 1)
                  .alias("src_host"),
-                 F.lower(F.regexp_extract("link_url", _HOST_RE, 1))
+                 F.regexp_extract(F.lower("link_url"), _HOST_RE, 1)
                  .alias("dst_host"),
                  F.col("n"))
              .where("src_host != '' and dst_host != '' "
@@ -67,7 +69,7 @@ def build_linkgraph(spark, pages, out_dir: str, iters: int = 10) -> dict:
                                        "host_id as src"), "src_host")
                 .join(hosts.selectExpr("host as dst_host",
                                        "host_id as dst"), "dst_host")
-                .select("src", "dst"))
+                .selectExpr("src", "dst", "weight"))
     ranks = ops.pagerank_edges(id_edges, iters=iters)
     named = (ranks.join(hosts.selectExpr("host_id as host", "host as name"),
                         "host")
@@ -77,8 +79,9 @@ def build_linkgraph(spark, pages, out_dir: str, iters: int = 10) -> dict:
     named = spark.read.parquet(ranks_path)
 
     top = named.orderBy(F.desc("pr"), "host").limit(5).collect()
+    # no pages.count(): that would re-scan (and for --warc, re-parse)
+    # the whole raw input a second time just for one summary integer
     return {
-        "pages": pages.count(),
         "edges": edges.count(),
         "hosts": named.count(),
         "top_hosts": [[r["host"], int(r["pr"])] for r in top],

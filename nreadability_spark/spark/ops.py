@@ -2114,13 +2114,23 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_edges(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
-    """The general PageRank loop over any (src, dst) edge table
-    (host_pagerank's engine; jobs/build_linkgraph.py runs it over REAL
-    edges from extract_links). Returns (host, pr) in integer ppm."""
-    edges = _cut_lineage(edges.select("src", "dst").distinct())
+    """The general PageRank loop over any (src, dst[, weight]) edge
+    table (host_pagerank's engine; jobs/build_linkgraph.py runs it over
+    REAL edges from extract_links). With a ``weight`` column each
+    source's rank splits proportionally to edge weight
+    (floor(pr·w / Σw)); without one every edge weighs 1, which reduces
+    to floor(pr / outdeg) — bit-identical to the unweighted form the
+    DuckDB oracle pins. Returns (host, pr) in integer ppm."""
+    if "weight" in edges.columns:
+        edges = (edges.groupBy("src", "dst")
+                 .agg(F.sum("weight").cast("long").alias("w")))
+    else:
+        edges = (edges.select("src", "dst").distinct()
+                 .withColumn("w", F.lit(1).cast("long")))
+    edges = _cut_lineage(edges)
     nodes = (edges.selectExpr("src as host")
              .union(edges.selectExpr("dst as host")).distinct())
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
     ranks = _cut_lineage(nodes.selectExpr(
         "host", f"cast({_PR_INIT} as bigint) as pr"))
     # floor() everywhere a division happens: Spark's cast(double as
@@ -2129,9 +2139,9 @@ def pagerank_edges(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
     for _ in range(iters):
         contrib = (edges
                    .join(ranks.selectExpr("host as src", "pr"), "src")
-                   .join(outdeg, "src")
+                   .join(outw, "src")
                    .selectExpr("dst as host",
-                               "cast(floor(pr / deg) as bigint) as c")
+                               "cast(floor(pr * w / wtot) as bigint) as c")
                    .groupBy("host")
                    .agg(F.sum("c").alias("contrib")))
         ranks = _cut_lineage(

@@ -57,9 +57,16 @@ import gzip as _gzip
 def _parse_warc_records(data: bytes):
     """Yield (target_uri, warc_date, html_bytes) for each WARC/1.0
     ``response`` record. The HTTP envelope (status line + headers) is
-    stripped so the payload is the raw html body."""
+    stripped so the payload is the raw html body. Never raises on
+    malformed input (corrupt archives yield fewer records, not failed
+    tasks): truncated/invalid gzip falls back to scanning the raw
+    bytes, a negative or garbage Content-Length is clamped to 0, and
+    the cursor strictly advances so no header shape can loop forever."""
     if data[:2] == b"\x1f\x8b":
-        data = _gzip.decompress(data)
+        try:
+            data = _gzip.decompress(data)
+        except Exception:
+            pass  # truncated/corrupt gzip: scan whatever bytes we have
     i, n = 0, len(data)
     while i < n:
         j = data.find(b"WARC/", i)
@@ -73,11 +80,11 @@ def _parse_warc_records(data: bytes):
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
         try:
-            length = int(headers.get(b"content-length", b"0"))
+            length = max(int(headers.get(b"content-length", b"0")), 0)
         except ValueError:
             length = 0
         body = data[head_end + 4:head_end + 4 + length]
-        i = head_end + 4 + length
+        i = max(head_end + 4 + length, j + 5)  # always move past 'WARC/'
         if headers.get(b"warc-type") != b"response":
             continue
         uri = headers.get(b"warc-target-uri", b"").decode(
@@ -112,9 +119,12 @@ def read_pages_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     raw = spark.read.format("binaryFile").load(path_glob).select("content")
     pages = raw.mapInPandas(explode_warcs,
                             "url string, warc_date string, html binary")
+    # try_cast, not to_timestamp: under Spark 4's default ANSI mode a
+    # missing or non-conforming WARC-Date (WARC 1.1 allows fractional
+    # seconds) must become null, not kill the ingest job on one record
     return pages.select(
         "url",
-        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        F.expr("try_cast(replace(warc_date, 'Z', '') as timestamp)")
         .alias("warc_ts"),
         "html",
         F.lit("").alias("text"),

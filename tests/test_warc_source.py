@@ -86,3 +86,46 @@ def test_warc_parser_fuzz_no_crash():
             assert uri
             assert isinstance(html, bytes)
     run()
+
+
+def test_warc_parser_malformed_records_no_hang_no_crash():
+    """Regression: a negative Content-Length must not loop forever, a
+    garbage length must not crash, and a truncated gzip stream must
+    degrade to best-effort scanning instead of raising."""
+    from nreadability_spark.spark.sources import _parse_warc_records
+
+    neg = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://x.example/\r\n"
+           b"Content-Length: -999\r\n\r\nHTTP/1.1 200 OK\r\n\r\nbody")
+    out = list(_parse_warc_records(neg))           # must terminate
+    assert all(uri for uri, _d, _h in out)
+
+    garbage = neg.replace(b"-999", b"not-a-number")
+    list(_parse_warc_records(garbage))             # must not raise
+
+    assert list(_parse_warc_records(b"\x1f\x8b")) == []
+    assert list(_parse_warc_records(b"\x1f\x8b\x08truncated")) == []
+
+
+def test_warc_date_variants_yield_null_not_error(spark, tmp_path_factory):
+    """A missing WARC-Date or a WARC 1.1 fractional-seconds date must
+    produce a null/parsed timestamp, never an ANSI DateTimeException
+    that kills the ingest job."""
+    from nreadability_spark.spark.sources import read_pages_warc
+    d = str(tmp_path_factory.mktemp("warc_dates"))
+    http = b"HTTP/1.1 200 OK\r\n\r\n<html><p>x</p></html>"
+
+    def rec(headers: bytes) -> bytes:
+        head = (b"WARC/1.0\r\nWARC-Type: response\r\n" + headers +
+                b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n")
+        return head + http + b"\r\n\r\n"
+
+    data = (rec(b"WARC-Target-URI: https://nodate.example/\r\n") +
+            rec(b"WARC-Target-URI: https://frac.example/\r\n"
+                b"WARC-Date: 2024-06-01T08:30:00.123Z\r\n"))
+    with open(os.path.join(d, "seg.warc"), "wb") as f:
+        f.write(data)
+    rows = {r["url"]: r for r in read_pages_warc(spark, d).collect()}
+    assert rows["https://nodate.example/"]["warc_ts"] is None
+    frac = rows["https://frac.example/"]["warc_ts"]
+    assert frac is not None and frac.microsecond == 123000
