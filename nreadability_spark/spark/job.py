@@ -300,9 +300,16 @@ def extract_links_row(url: Optional[str],
     counts: dict[str, int] = {}
     for a in doc.get_elements_by_tag_name("a"):
         href = (a.get_attribute("href") or "").strip()
-        if not href or href.startswith(("#", "javascript:")):
+        # fragment-only hrefs are same-page, never edges
+        if not href or href.startswith("#"):
             continue
         target = resolve_element_url(href, url or "")
+        # navigational allowlist, checked case-insensitively AFTER
+        # resolution (relative hrefs inherit the page's scheme): keeps
+        # http/https only, so javascript:/JavaScript:/data:/mailto:/tel:
+        # pseudo-links never enter the edge table in any casing
+        if not target.lower().startswith(("http://", "https://")):
+            continue
         counts[target] = counts.get(target, 0) + 1
     return sorted(counts.items())
 

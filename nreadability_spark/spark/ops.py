@@ -1816,7 +1816,11 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its own bigrams — fluent, ordinary prose is made of bigrams the
     corpus has seen often; gibberish and word salad score low. The
     score is floor(1000 * Σ tf(g)·c(g) / Σ tf(g)) with c(g) the corpus
-    occurrence count, so no float crosses the compare boundary.
+    occurrence count. No float crosses the compare boundary: the
+    Σ tf·c aggregation runs in decimal(38,0) on the Spark side (DuckDB
+    widens sum(BIGINT) to HUGEINT on its own) and the final ratio is
+    exact integer division in both engines, so the score stays
+    bit-identical even when Σ tf·c passes 2^63 on a real corpus.
 
     Scale shape: the per-doc term frequencies aggregate on the
     high-cardinality (doc_id, gram) composite (map-side partial), the
@@ -1837,8 +1841,8 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tf.join(model, "g")
             .groupBy("doc_id")
             .agg(F.sum("tf").cast("long").alias("n_bigrams"),
-                 F.expr("cast(floor(sum(tf * c) * 1000.0 / sum(tf)) "
-                        "as bigint)").alias("score_milli")))
+                 F.expr("cast(sum(cast(tf as decimal(38,0)) * c) * 1000 "
+                        "div sum(tf) as bigint)").alias("score_milli")))
 
 
 LM_BIGRAM_SCORE_SQL = f"""
@@ -1852,8 +1856,8 @@ LM_BIGRAM_SCORE_SQL = f"""
     model as (select g, sum(tf) as c from tf group by 1)
     select doc_id,
            cast(sum(tf) as bigint) as n_bigrams,
-           cast(floor(sum(tf * c) * 1000.0 / sum(tf)) as bigint)
-             as score_milli
+           cast((sum(cast(tf as hugeint) * c) * 1000) // sum(tf)
+                as bigint) as score_milli
     from tf join model using (g)
     group by doc_id
 """
@@ -2136,12 +2140,19 @@ def pagerank_edges(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
     # floor() everywhere a division happens: Spark's cast(double as
     # bigint) truncates but DuckDB's ROUNDS, so the truncation must be
     # explicit for the engines to agree bit-for-bit
+    # the pr*w product is decimal(38,0): on real weighted host graphs
+    # (build_linkgraph sums raw link counts into w, hub pr reaches
+    # ~nodes*1e6 ppm) bigint*bigint can exceed int64 — an ANSI
+    # ArithmeticException — and routing it through double division is
+    # inexact past 2^53; decimal `div` is exact integer truncation
+    # (== floor for the non-negative operands here) at any graph size
     for _ in range(iters):
         contrib = (edges
                    .join(ranks.selectExpr("host as src", "pr"), "src")
                    .join(outw, "src")
                    .selectExpr("dst as host",
-                               "cast(floor(pr * w / wtot) as bigint) as c")
+                               "cast(cast(pr as decimal(38,0)) * w "
+                               "div wtot as bigint) as c")
                    .groupBy("host")
                    .agg(F.sum("c").alias("contrib")))
         ranks = _cut_lineage(

@@ -47,44 +47,126 @@ def write_append(df: DataFrame, ref: str) -> None:
 # per WARC file via the binaryFile source — the standard Common-Crawl
 # processing grain (segment files are ~1 GB, tens of thousands of files
 # per crawl, so file-level parallelism saturates any cluster without
-# record-level splits). Whole-file gzip is handled transparently;
-# production CC files are per-record-gzip concatenated, which gzip's
-# multi-member decoder also accepts.
+# record-level splits).
+#
+# Memory envelope per task: binaryFile's compressed content row
+# (~1 GB for a CC segment) + O(largest single record + one scan chunk)
+# decompressed — NOT the whole ~4-5 GB decompressed segment. Gzip is
+# decoded member-at-a-time through zlib.decompressobj with a bounded
+# output window, which matches production CC files' per-record-gzip
+# layout (one member per record) and still handles whole-file gzip
+# without materializing the full plaintext.
 
-import gzip as _gzip
+import zlib as _zlib
+
+_WARC_CHUNK = 1 << 20  # decompressed scan-window growth per pull
 
 
-def _parse_warc_records(data: bytes):
-    """Yield (target_uri, warc_date, html_bytes) for each WARC/1.0
-    ``response`` record. The HTTP envelope (status line + headers) is
-    stripped so the payload is the raw html body. Never raises on
-    malformed input (corrupt archives yield fewer records, not failed
-    tasks): truncated/invalid gzip falls back to scanning the raw
-    bytes, a negative or garbage Content-Length is clamped to 0, and
-    the cursor strictly advances so no header shape can loop forever."""
-    if data[:2] == b"\x1f\x8b":
+def _iter_warc_chunks(data: bytes, chunk: int = _WARC_CHUNK):
+    """Yield decompressed chunks of ``data``. Multi-member gzip is
+    decoded member-at-a-time; each ``decompress`` call is capped at
+    ``chunk`` output bytes so peak memory never depends on the
+    compression ratio. Corrupt/truncated members yield whatever bytes
+    decoded cleanly, then stop — never raises."""
+    if data[:2] != b"\x1f\x8b":
+        for i in range(0, len(data), chunk):
+            yield data[i:i + chunk]
+        return
+    mv = memoryview(data)
+    pos, n = 0, len(data)
+    while pos < n and bytes(mv[pos:pos + 2]) == b"\x1f\x8b":
+        d = _zlib.decompressobj(31)
+        tail = mv[pos:]
         try:
-            data = _gzip.decompress(data)
-        except Exception:
-            pass  # truncated/corrupt gzip: scan whatever bytes we have
-    i, n = 0, len(data)
-    while i < n:
-        j = data.find(b"WARC/", i)
+            while True:
+                out = d.decompress(tail, chunk)
+                if out:
+                    yield out
+                if d.eof:
+                    break
+                tail = d.unconsumed_tail
+                if not tail:
+                    break  # member truncated at EOF
+        except _zlib.error:
+            return  # corrupt member: keep what was already yielded
+        if d.eof and d.unused_data:
+            pos = n - len(d.unused_data)  # next gzip member
+        else:
+            return
+
+
+def _parse_warc_stream(chunks):
+    """Incremental WARC/1.0 record parser over an iterator of
+    decompressed byte chunks. Buffers at most one record (plus one scan
+    chunk) at a time. Never raises on malformed input (corrupt archives
+    yield fewer records, not failed tasks): a missing or garbage
+    Content-Length resynchronizes on the ``\\r\\n\\r\\nWARC/`` record
+    delimiter instead of scanning raw body bytes (so a page ABOUT the
+    WARC format can't fabricate records with attacker-controlled
+    target-URIs), and the cursor strictly advances so no header shape
+    can loop forever."""
+    buf = bytearray()
+    it = iter(chunks)
+    eof = False
+
+    def pull() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        try:
+            buf.extend(next(it))
+            return True
+        except StopIteration:
+            eof = True
+            return False
+
+    def find_pulling(needle: bytes, start: int) -> int:
+        """Find ``needle`` at/after ``start``, pulling chunks as needed;
+        -1 at stream end. Resumes each scan near the buffer tail so a
+        long record costs O(record), not O(record^2)."""
+        lo = start
+        while True:
+            j = buf.find(needle, lo)
+            if j != -1:
+                return j
+            lo = max(start, len(buf) - len(needle) + 1)
+            if not pull():
+                return -1
+
+    while True:
+        j = find_pulling(b"WARC/", 0)
         if j == -1:
-            break
-        head_end = data.find(b"\r\n\r\n", j)
+            return
+        del buf[:j]  # drop inter-record garbage; record header at 0
+        head_end = find_pulling(b"\r\n\r\n", 0)
         if head_end == -1:
-            break
+            return
         headers = {}
-        for line in data[j:head_end].split(b"\r\n")[1:]:
+        for line in bytes(buf[:head_end]).split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
+        body_start = head_end + 4
         try:
-            length = max(int(headers.get(b"content-length", b"0")), 0)
-        except ValueError:
-            length = 0
-        body = data[head_end + 4:head_end + 4 + length]
-        i = max(head_end + 4 + length, j + 5)  # always move past 'WARC/'
+            length = int(headers[b"content-length"])
+            if length < 0:
+                raise ValueError(length)
+        except (KeyError, ValueError):
+            length = None
+        if length is not None:
+            while len(buf) < body_start + length and pull():
+                pass
+            body = bytes(buf[body_start:body_start + length])
+            consumed = min(body_start + length, len(buf))
+        else:
+            # unusable Content-Length: resync on the record delimiter
+            k = find_pulling(b"\r\n\r\nWARC/", head_end)
+            if k == -1:
+                body = bytes(buf[body_start:])
+                consumed = len(buf)
+            else:
+                body = bytes(buf[body_start:k])
+                consumed = k + 4
+        del buf[:max(consumed, 5)]  # strict progress past 'WARC/'
         if headers.get(b"warc-type") != b"response":
             continue
         uri = headers.get(b"warc-target-uri", b"").decode(
@@ -96,6 +178,14 @@ def _parse_warc_records(data: bytes):
         html = body[http_end + 4:] if http_end != -1 else body
         if uri:
             yield uri, date, html
+
+
+def _parse_warc_records(data: bytes):
+    """Yield (target_uri, warc_date, html_bytes) for each WARC/1.0
+    ``response`` record in ``data`` (gzip-transparent; see
+    ``_parse_warc_stream`` for the malformed-input contract and
+    ``_iter_warc_chunks`` for the bounded-memory decode)."""
+    yield from _parse_warc_stream(_iter_warc_chunks(data))
 
 
 def read_pages_warc(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -121,11 +211,15 @@ def read_pages_warc(spark: SparkSession, path_glob: str) -> DataFrame:
                             "url string, warc_date string, html binary")
     # try_cast, not to_timestamp: under Spark 4's default ANSI mode a
     # missing or non-conforming WARC-Date (WARC 1.1 allows fractional
-    # seconds) must become null, not kill the ingest job on one record
+    # seconds) must become null, not kill the ingest job on one record.
+    # The trailing 'Z' is passed through to the cast — WARC-Date is
+    # always UTC per spec, and try_cast interprets the designator as
+    # the UTC offset, so the stored instant is correct on any cluster
+    # regardless of spark.sql.session.timeZone (stripping the 'Z' would
+    # silently reinterpret every timestamp in local time).
     return pages.select(
         "url",
-        F.expr("try_cast(replace(warc_date, 'Z', '') as timestamp)")
-        .alias("warc_ts"),
+        F.expr("try_cast(warc_date as timestamp)").alias("warc_ts"),
         "html",
         F.lit("").alias("text"),
         F.lit("").alias("lang"))

@@ -26,6 +26,7 @@ from pyspark.sql.types import (BooleanType, IntegerType, StringType,
                                StructField, StructType)
 
 from .job import ensure_package_shipped
+from .ops import _cut_lineage
 
 MAX_PAGES = 30
 
@@ -76,12 +77,17 @@ def chain_membership(spark: SparkSession, pages: DataFrame,
                .dropDuplicates(["root_url", "url"]))
         # cut iterative lineage (reliable checkpoint() when configured —
         # see ops._cut_lineage)
-        from .ops import _cut_lineage
         nxt = _cut_lineage(nxt)
         if nxt.isEmpty():
             break
         chains = chains.unionByName(nxt)
         frontier = nxt
+    # materialize the result before releasing the edge cache (chains'
+    # lineage still references `links` through the roots anti-join);
+    # without this the cached edge table stays pinned in executor
+    # memory for the lifetime of the session
+    chains = _cut_lineage(chains)
+    links.unpersist()
     return chains
 
 

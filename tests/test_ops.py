@@ -224,3 +224,21 @@ def test_events_funnel_order_is_strict(spark):
     dist = {r["steps"]: r["n"] for r in
             f.groupBy("steps").agg(F.count("*").alias("n")).collect()}
     assert dist and set(dist) <= {1, 2, 3} and 3 in dist
+
+
+def test_pagerank_edges_huge_weights_no_int64_overflow(spark):
+    """Real linkgraph weights are raw link-count sums; pr*w must not hit
+    ANSI bigint overflow nor lose exactness through double division
+    (ADVICE r4). With w ~ 1e13 and pr starting at 1e6 ppm the product
+    passes 2^63 in round 1 — the decimal(38,0) path must stay exact."""
+    from nreadability_spark.spark.ops import _PR_BASE, pagerank_edges
+    w = 10_000_000_000_000  # 1e13
+    edges = spark.createDataFrame(
+        [(1, 2, 9 * w), (1, 3, w), (2, 1, w), (3, 1, w)],
+        "src long, dst long, weight long")
+    pr = {r["host"]: r["pr"] for r in pagerank_edges(edges).collect()}
+    assert set(pr) == {1, 2, 3}
+    # node 2 receives 9x node 3's share of node 1's rank each round:
+    # exact floor arithmetic keeps the ordering strict, and every rank
+    # holds the damped-base floor
+    assert pr[2] > pr[3] >= _PR_BASE

@@ -234,3 +234,26 @@ def test_build_linkgraph_job(spark, pages, tmp_path_factory):
     out2 = str(tmp_path_factory.mktemp("linkgraph2"))
     s2 = build_linkgraph(spark, pages, out2, iters=5)
     assert s2["top_hosts"] == s["top_hosts"]
+
+
+def test_extract_links_row_navigational_allowlist():
+    """Only resolved http/https targets are edges: javascript: in any
+    casing, data:, mailto:, tel: and fragment-only hrefs never reach
+    the edge table (ADVICE r4 — case-varied javascript: URLs counted
+    as graph edges before)."""
+    from nreadability_spark.spark.job import extract_links_row
+    html = (b"<html><body>"
+            b"<a href='page2.html'>rel</a>"
+            b"<a href='https://other.example/x'>abs</a>"
+            b"<a href='#frag'>frag</a>"
+            b"<a href='javascript:void(0)'>js</a>"
+            b"<a href='JavaScript:alert(1)'>JS</a>"
+            b"<a href='data:text/html,hi'>data</a>"
+            b"<a href='mailto:a@example.com'>mail</a>"
+            b"<a href='tel:+15551234'>tel</a>"
+            b"<a href='page2.html'>rel again</a>"
+            b"</body></html>")
+    out = dict(extract_links_row("http://site.example/dir/page1.html",
+                                 html))
+    assert out == {"http://site.example/dir/page2.html": 2,
+                   "https://other.example/x": 1}

@@ -72,3 +72,33 @@ def test_stitch_matches_single_node(spark):
         assert row["extracted"] == local.content_extracted
         checked += 1
     assert checked >= 8  # most chains are genuinely multi-page
+
+
+def test_stitch_releases_edge_cache(spark):
+    """The BFS caches the edge table for its frontier joins; once the
+    op's result is dropped, NOTHING may stay pinned in executor storage
+    (VERDICT r4: the `.cache()` outlived the op for the session's
+    lifetime — it was never unpersisted). The per-round localCheckpoint
+    blocks are released asynchronously by the ContextCleaner once their
+    RDDs are garbage-collected, so the assertion polls after forcing
+    both Python and JVM GC."""
+    import gc
+    import time
+    from nreadability_spark.spark.stitch import stitch_multipage
+    pages = spark.createDataFrame(load_web_pages(),
+                                  "url string, html binary")
+    out = stitch_multipage(spark, pages)
+    out.count()
+    del out
+    pinned = None
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        gc.collect()
+        spark._jvm.System.gc()
+        pinned = [str(info) for info in
+                  spark.sparkContext._jsc.sc().getRDDStorageInfo()
+                  if info.isCached()]
+        if not pinned:
+            break
+        time.sleep(1)
+    assert pinned == []

@@ -129,3 +129,109 @@ def test_warc_date_variants_yield_null_not_error(spark, tmp_path_factory):
     assert rows["https://nodate.example/"]["warc_ts"] is None
     frac = rows["https://frac.example/"]["warc_ts"]
     assert frac is not None and frac.microsecond == 123000
+
+
+def test_warc_per_record_gzip_members(spark, tmp_path_factory):
+    """Production CC layout: one gzip member per record, concatenated.
+    The member-at-a-time decoder must yield every record without ever
+    materializing the whole decompressed segment."""
+    from nreadability_spark.spark.sources import read_pages_warc
+    d = str(tmp_path_factory.mktemp("warc_members"))
+    data = b"".join(
+        gzip.compress(_record(b"response",
+                              b"https://m.example/%d" % i,
+                              b"<html><p>doc %d</p></html>" % i))
+        for i in range(5))
+    with open(os.path.join(d, "seg.warc.gz"), "wb") as f:
+        f.write(data)
+    urls = {r["url"] for r in read_pages_warc(spark, d).collect()}
+    assert urls == {"https://m.example/%d" % i for i in range(5)}
+
+
+def test_warc_truncated_member_keeps_prior_records():
+    """A truncated/corrupt trailing gzip member degrades to best-effort:
+    records from intact leading members still come out, nothing raises."""
+    from nreadability_spark.spark.sources import _parse_warc_records
+    good = gzip.compress(_record(b"response", b"https://ok.example/", b"x"))
+    bad = gzip.compress(_record(b"response", b"https://lost.example/",
+                                b"y" * 4096))[:40]
+    out = list(_parse_warc_records(good + bad))
+    assert [u for u, _d, _h in out] == ["https://ok.example/"]
+    # corrupt bytes spliced between members: leading member still parses
+    out2 = list(_parse_warc_records(good + b"\x00garbage" + good))
+    assert out2 and out2[0][0] == "https://ok.example/"
+
+
+def test_warc_bad_length_resyncs_on_delimiter():
+    """With an unusable Content-Length the parser resynchronizes on the
+    '\\r\\n\\r\\nWARC/' record delimiter — a body containing a literal
+    'WARC/...' header block (a page ABOUT the WARC format) must not be
+    emitted as a fabricated record with attacker-controlled URI."""
+    from nreadability_spark.spark.sources import _parse_warc_records
+    evil_body = (b"HTTP/1.1 200 OK\r\n\r\n<html><pre>"
+                 b"WARC/1.0\r\nWARC-Type: response\r\n"
+                 b"WARC-Target-URI: https://attacker.example/\r\n"
+                 b"Content-Length: 4\r\n\r\nhack"
+                 b"</pre></html>")
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://victim.example/\r\n"
+           b"Content-Length: oops\r\n\r\n" + evil_body + b"\r\n\r\n")
+    tail = _record(b"response", b"https://next.example/", b"<p>n</p>")
+    out = list(_parse_warc_records(rec + tail))
+    uris = [u for u, _d, _h in out]
+    assert "https://attacker.example/" not in uris
+    assert uris == ["https://victim.example/", "https://next.example/"]
+    # the resynced body carries the whole literal block, unsplit
+    assert b"WARC-Target-URI: https://attacker.example/" in out[0][2]
+    # and with a VALID length the same body is simply payload bytes
+    out3 = list(_parse_warc_records(
+        _record(b"response", b"https://v2.example/",
+                evil_body.split(b"\r\n\r\n", 1)[1])))
+    assert [u for u, _d, _h in out3] == ["https://v2.example/"]
+
+
+def test_warc_parser_fuzz_multimember_gzip():
+    """Fuzz the bounded-memory gzip path: arbitrary record bytes split
+    into arbitrary gzip members (+ optional truncation) never crash and
+    never yield a record with an empty uri."""
+    from hypothesis import given, settings, strategies as st
+    from nreadability_spark.spark.sources import _parse_warc_records
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=1024),
+           st.integers(min_value=1, max_value=4),
+           st.integers(min_value=0, max_value=64))
+    def run(data, n_members, trunc):
+        step = max(len(data) // n_members, 1)
+        blob = b"".join(gzip.compress(data[i:i + step])
+                        for i in range(0, len(data), step))
+        blob = blob[:len(blob) - trunc]
+        for uri, _date, html in _parse_warc_records(blob):
+            assert uri
+            assert isinstance(html, bytes)
+    run()
+
+
+def test_warc_ts_is_utc_instant_regardless_of_session_tz(
+        spark, tmp_path_factory):
+    """WARC-Date is always UTC; the parsed instant must equal 08:30 UTC
+    whatever spark.sql.session.timeZone says (ADVICE r4: stripping the
+    'Z' reinterpreted every timestamp in cluster-local time)."""
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.sources import read_pages_warc
+    d = str(tmp_path_factory.mktemp("warc_tz"))
+    _write_warc(os.path.join(d, "seg.warc"), compress=False)
+    expected = 1717230600  # 2024-06-01T08:30:00Z
+    epochs = {}
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            row = (read_pages_warc(spark, d)
+                   .where(F.col("url") == "https://warc.example/a")
+                   .select(F.unix_timestamp("warc_ts").alias("e"))
+                   .collect())
+            epochs[tz] = row[0]["e"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert epochs == {tz: expected for tz in epochs}
