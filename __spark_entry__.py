@@ -153,6 +153,24 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")).alias("feature_q"))
 
 
+def _warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-crawl ingest: deterministic per-record-gzip WARC segments
+    (production Common-Crawl layout, with request/warcinfo records,
+    a garbage Content-Length and a missing WARC-Date woven in) read
+    distributed via binaryFile + the streaming member-at-a-time parser.
+    warc_ts is emitted as a UTC epoch so the value hash is independent
+    of either engine's session timezone."""
+    from nreadability_spark.spark.pages import synthesize_warc_dir
+    from nreadability_spark.spark.sources import read_pages_warc
+    warc_dir = synthesize_warc_dir(sf_dir)
+    pages = read_pages_warc(spark, warc_dir)
+    return pages.select(
+        "url",
+        F.unix_timestamp("warc_ts").cast("long").alias("warc_epoch"),
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("html_len"))
+
+
 def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (one-to-many binary explode)."""
     from nreadability_spark.spark.multimodal import (sample_frames,
@@ -178,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_with_transformers": _extract_with_transformers,
         "extract_links": _extract_links,
         "stitch_multipage": _stitch_multipage,
+        "warc_pages": _warc_pages,
         "media_features": _media_features,
         "media_frames": _media_frames,
     }
@@ -205,6 +224,7 @@ def _kernel_oracles() -> dict[str, str]:
     stitch = os.path.join(d, "stitch_multipage.parquet")
     feats = os.path.join(d, "media_features.parquet")
     frames = os.path.join(d, "media_frames.parquet")
+    warc = os.path.join(d, "warc_pages.parquet")
     return {
         "extract_articles": f"""
             select url, extracted, title, next_page_url, content_text,
@@ -241,6 +261,9 @@ def _kernel_oracles() -> dict[str, str]:
         "media_frames": f"""
             select media_id, frame_no, frame_md5
             from read_parquet('{frames}')""",
+        "warc_pages": f"""
+            select url, warc_epoch, html_md5, html_len
+            from read_parquet('{warc}')""",
     }
 
 

@@ -206,6 +206,98 @@ def synthesize_chained_pages(spark: SparkSession, sf_dir: str,
     return docs.mapInPandas(gen, "url string, html binary")
 
 
+# --- deterministic WARC corpus (raw-crawl ingest, pass-D path) ---------------
+#
+# The same template pages, but serialized as real WARC/1.0 archives with
+# production Common-Crawl layout (one gzip member per record) so the
+# driver's correctness gate exercises the ENTIRE raw-ingest path:
+# binaryFile scan -> member-at-a-time gunzip -> streaming record parse ->
+# HTTP envelope strip -> ANSI-safe UTC date cast. Deterministic parser
+# stress is woven in: request/warcinfo records that must be dropped
+# (doc_id % 50), a garbage Content-Length that must resynchronize on the
+# record delimiter (doc_id % 61), and a missing WARC-Date that must land
+# as a null timestamp (doc_id % 83).
+
+_WARC_EPOCH_S = 1767225600  # 2026-01-01T00:00:00Z
+
+
+def warc_date_py(doc_id: int) -> str:
+    if doc_id % 83 == 0:
+        return ""  # record carries no WARC-Date -> null warc_ts
+    import datetime as _dt
+    t = _dt.datetime.fromtimestamp(_WARC_EPOCH_S + doc_id * 137,
+                                   _dt.timezone.utc)
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _warc_head(wtype: str, uri: str, date: str, length) -> bytes:
+    head = f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+    if uri:
+        head += f"WARC-Target-URI: {uri}\r\n"
+    if date:
+        head += f"WARC-Date: {date}\r\n"
+    head += f"Content-Length: {length}\r\n\r\n"
+    return head.encode("utf-8")
+
+
+def warc_record_py(doc_id: int, text: str) -> bytes:
+    """One WARC response record (html payload behind an HTTP envelope)
+    for a template page, byte-deterministic in doc_id."""
+    url = template_url_py(doc_id)
+    html = template_html_py(doc_id, text).encode("utf-8")
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+            b"\r\n\r\n" + html)
+    length = "botched" if doc_id % 61 == 0 else len(http)
+    return (_warc_head("response", url, warc_date_py(doc_id), length)
+            + http + b"\r\n\r\n")
+
+
+def synthesize_warc_dir(sf_dir: str, n_files: int = 8,
+                        out_dir: str | None = None) -> str:
+    """Materialize the documents table as ``n_files`` per-record-gzip
+    WARC segments under a content-addressed tmp dir (idempotent: a
+    marker file keyed on the corpus signature skips the rewrite).
+    Driver-side by design — this builds the INPUT fixture the
+    distributed reader is tested against, exactly like fixture_rows()."""
+    import gzip
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    docs = sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    sig = hashlib.md5(
+        f"{sf_dir}:{n_files}:{len(docs)}:{docs[0][0]}:{docs[-1][0]}:v1"
+        .encode()).hexdigest()
+    if out_dir is None:
+        out_dir = os.path.join(tempfile.gettempdir(), f"nrs_warc_{sig[:12]}")
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            if f.read() == sig:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    gz = lambda rec: gzip.compress(rec, mtime=0)  # noqa: E731
+    files: list[list[bytes]] = [[] for _ in range(n_files)]
+    info = _warc_head("warcinfo", "", warc_date_py(1), 15) + \
+        b"software: nrs\r\n\r\n\r\n"
+    files[0].append(gz(info))
+    for doc_id, text in docs:
+        k = int(doc_id) % n_files
+        files[k].append(gz(warc_record_py(int(doc_id), text)))
+        if doc_id % 50 == 0:
+            req = _warc_head("request", template_url_py(int(doc_id)),
+                             warc_date_py(int(doc_id)), 5) + b"GET /\r\n\r\n"
+            files[k].append(gz(req))
+    for k, members in enumerate(files):
+        with open(os.path.join(out_dir, f"seg-{k:05d}.warc.gz"), "wb") as f:
+            f.write(b"".join(members))
+    with open(marker, "w") as f:
+        f.write(sig)
+    return out_dir
+
+
 def synthesize_pages(spark: SparkSession, sf_dir: str,
                      include_fixtures: bool = True,
                      replicate: int = 1) -> DataFrame:

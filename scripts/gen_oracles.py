@@ -236,6 +236,41 @@ def gen_media_frames(docs: list[tuple[int, str]], every_n: int = 4,
     })
 
 
+def gen_warc_pages(sf_dir: str) -> pa.Table:
+    """Raw-ingest oracle: the pure streaming WARC parser run locally over
+    the SAME deterministic per-record-gzip segments read_pages_warc scans
+    distributed — url, UTC epoch (null when the record has no WARC-Date),
+    payload md5/length after the HTTP-envelope strip."""
+    import datetime
+    import glob as _glob
+
+    from nreadability_spark.spark.pages import synthesize_warc_dir
+    from nreadability_spark.spark.sources import _parse_warc_records
+    warc_dir = synthesize_warc_dir(sf_dir)
+    cols: dict[str, list] = {k: [] for k in (
+        "url", "warc_epoch", "html_md5", "html_len")}
+    for path in sorted(_glob.glob(os.path.join(warc_dir, "*.warc.gz"))):
+        with open(path, "rb") as f:
+            data = f.read()
+        for uri, date, html in _parse_warc_records(data):
+            try:
+                epoch = int(datetime.datetime.strptime(
+                    date, "%Y-%m-%dT%H:%M:%SZ")
+                    .replace(tzinfo=datetime.timezone.utc).timestamp())
+            except ValueError:
+                epoch = None
+            cols["url"].append(uri)
+            cols["warc_epoch"].append(epoch)
+            cols["html_md5"].append(hashlib.md5(html).hexdigest())
+            cols["html_len"].append(len(html))
+    return pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "warc_epoch": pa.array(cols["warc_epoch"], pa.int64()),
+        "html_md5": pa.array(cols["html_md5"], pa.string()),
+        "html_len": pa.array(cols["html_len"], pa.int64()),
+    })
+
+
 def generate(sf_dir: str) -> dict[str, str]:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     out_dir = os.path.join(ORACLE_DIR, sf_name)
@@ -248,7 +283,8 @@ def generate(sf_dir: str) -> dict[str, str]:
             ("extract_links", gen_extract_links(docs)),
             ("stitch_multipage", gen_stitch(docs)),
             ("media_features", gen_media_features(docs)),
-            ("media_frames", gen_media_frames(docs))):
+            ("media_frames", gen_media_frames(docs)),
+            ("warc_pages", gen_warc_pages(sf_dir))):
         path = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(table, path)
         written[name] = path
