@@ -153,6 +153,17 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")).alias("feature_q"))
 
 
+def _pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (the north rule's 'PDF/layout parse' scope
+    item): a deterministic real-PDF corpus — three show-operator styles,
+    three damage classes (header stub / truncated xref / corrupt stream
+    length) — decoded distributed by the pure-Python content-stream
+    extractor behind the multimodal codec seam."""
+    from nreadability_spark.spark.multimodal import (extract_pdf,
+                                                     synthesize_pdfs)
+    return extract_pdf(synthesize_pdfs(spark, sf_dir))
+
+
 def _warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-crawl ingest: deterministic per-record-gzip WARC segments
     (production Common-Crawl layout, with request/warcinfo records,
@@ -196,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_with_transformers": _extract_with_transformers,
         "extract_links": _extract_links,
         "stitch_multipage": _stitch_multipage,
+        "pdf_extract": _pdf_extract,
         "warc_pages": _warc_pages,
         "media_features": _media_features,
         "media_frames": _media_frames,
@@ -225,6 +237,7 @@ def _kernel_oracles() -> dict[str, str]:
     feats = os.path.join(d, "media_features.parquet")
     frames = os.path.join(d, "media_frames.parquet")
     warc = os.path.join(d, "warc_pages.parquet")
+    pdfx = os.path.join(d, "pdf_extract.parquet")
     return {
         "extract_articles": f"""
             select url, extracted, title, next_page_url, content_text,
@@ -264,6 +277,9 @@ def _kernel_oracles() -> dict[str, str]:
         "warc_pages": f"""
             select url, warc_epoch, html_md5, html_len
             from read_parquet('{warc}')""",
+        "pdf_extract": f"""
+            select doc_id, ok, n_pages, text_md5, text_len
+            from read_parquet('{pdfx}')""",
     }
 
 

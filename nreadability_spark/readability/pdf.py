@@ -1,0 +1,602 @@
+"""Minimal deterministic PDF text extraction (and a tiny writer).
+
+The north rule names "PDF/layout parse" as part of the extraction scope
+(BASELINE.json:14); the C# reference has no PDF path, so this module is
+a from-scratch minimal PDF 1.4 content-stream text extractor rather
+than a port: classic xref walk (object-scan fallback for truncated or
+rewritten files), Flate stream decode via zlib, page-tree traversal,
+and a BT/ET text-run tokenizer covering Tj / TJ / ' / " with literal
+(escapes, octal, nested parens) and hex strings. Layout is reduced to
+a deterministic line model: Td/TD with a vertical move, T*, Tm, ' and
+ET start a new line; everything shown in between concatenates.
+
+Scope (documented limitations, deliberate for a minimal extractor):
+no CMap/ToUnicode decoding (CID-font PDFs yield raw code bytes), no
+xref streams (PDF 1.5 cross-reference streams fall back to the object
+scan, which recovers them fine), no encryption. ``extract_pdf_text``
+NEVER raises on malformed input — corrupt files yield fewer pages and
+``ok=False`` when nothing could be recovered, mirroring the html
+parser's parse-never-raises contract.
+
+``build_pdf`` is the deterministic writer used to synthesize the test
+corpus; writer and parser share no code paths, so round-tripping is a
+genuine check.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+
+_WS = b"\x00\t\n\x0c\r "
+_MAX_OBJ_DEPTH = 60
+_MAX_PAGES = 50_000
+
+
+class _PdfErr(Exception):
+    pass
+
+
+class _Ref(int):
+    """Indirect object reference (object number; generations ignored)."""
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_REF_RE = re.compile(rb"[\x00\t\n\x0c\r ]+\d+[\x00\t\n\x0c\r ]+R(?![0-9A-Za-z])")
+_NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
+_OBJ_HDR_RE = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj")
+_SCAN_RE = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj\b")
+_STARTXREF_RE = re.compile(rb"startxref[\x00\t\n\x0c\r ]+(\d+)")
+_XREF_SUB_RE = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]*")
+_XREF_ENT_RE = re.compile(rb"(\d{10})[\x00\t\n\x0c\r ]+(\d{5})[\x00\t\n\x0c\r ]+([nf])")
+_OP_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+
+
+def _skip_ws(d: bytes, i: int) -> int:
+    n = len(d)
+    while i < n:
+        c = d[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment to EOL
+            j = d.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        else:
+            break
+    return i
+
+
+def _parse_lit_string(d: bytes, i: int) -> tuple[bytes, int]:
+    """d[i] == '(' — literal string with escapes and nested parens."""
+    i += 1
+    depth = 1
+    out = bytearray()
+    n = len(d)
+    esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
+    while i < n:
+        c = d[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = d[i]
+            if e in esc:
+                out.append(esc[e])
+                i += 1
+            elif e in b"()\\":
+                out.append(e)
+                i += 1
+            elif e == 0x0D:  # line continuation \CR[LF]
+                i += 1
+                if i < n and d[i] == 0x0A:
+                    i += 1
+            elif e == 0x0A:
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                v = 0
+                k = 0
+                while k < 3 and i < n and 0x30 <= d[i] <= 0x37:
+                    v = v * 8 + (d[i] - 0x30)
+                    i += 1
+                    k += 1
+                out.append(v & 0xFF)
+            else:  # unknown escape: the char stands for itself
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise _PdfErr("unterminated literal string")
+
+
+def _parse_hex_string(d: bytes, i: int) -> tuple[bytes, int]:
+    """d[i] == '<' (and not '<<')."""
+    j = d.find(b">", i + 1)
+    if j == -1:
+        raise _PdfErr("unterminated hex string")
+    digits = re.sub(rb"[^0-9A-Fa-f]", b"", d[i + 1:j])
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")), j + 1
+
+
+def _parse_obj(d: bytes, i: int, depth: int = 0):
+    if depth > _MAX_OBJ_DEPTH:
+        raise _PdfErr("object nesting too deep")
+    i = _skip_ws(d, i)
+    if i >= len(d):
+        raise _PdfErr("eof in object")
+    c = d[i]
+    if d.startswith(b"<<", i):
+        i += 2
+        out: dict = {}
+        while True:
+            i = _skip_ws(d, i)
+            if d.startswith(b">>", i):
+                return out, i + 2
+            m = _NAME_RE.match(d, i)
+            if not m:
+                raise _PdfErr("dict key is not a name")
+            key = m.group(1).decode("latin-1")
+            val, i = _parse_obj(d, m.end(), depth + 1)
+            out[key] = val
+    if c == 0x3C:  # <
+        return _parse_hex_string(d, i)
+    if c == 0x28:  # (
+        return _parse_lit_string(d, i)
+    if c == 0x2F:  # /name
+        m = _NAME_RE.match(d, i)
+        return "/" + m.group(1).decode("latin-1"), m.end()
+    if c == 0x5B:  # [
+        i += 1
+        arr = []
+        while True:
+            i = _skip_ws(d, i)
+            if i < len(d) and d[i] == 0x5D:
+                return arr, i + 1
+            val, i = _parse_obj(d, i, depth + 1)
+            arr.append(val)
+    if c in b"+-.0123456789":
+        m = _NUM_RE.match(d, i)
+        if not m:
+            raise _PdfErr("bad number")
+        tok = m.group(0)
+        j = m.end()
+        if b"." not in tok:
+            r = _REF_RE.match(d, j)
+            if r:
+                return _Ref(int(tok)), r.end()
+            return int(tok), j
+        return float(tok), j
+    if d.startswith(b"true", i):
+        return True, i + 4
+    if d.startswith(b"false", i):
+        return False, i + 5
+    if d.startswith(b"null", i):
+        return None, i + 4
+    raise _PdfErr(f"unexpected byte {c:#x}")
+
+
+# --- document structure ---------------------------------------------------------
+
+
+class _Doc:
+    """Lazy object store over the raw bytes: a (validated) xref map with
+    an object-scan fallback built on first miss — truncated trailers,
+    stale offsets after byte-shifting edits, and xref-stream files all
+    degrade to the scan instead of failing."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.xref: dict[int, int] = {}
+        self.trailer: dict = {}
+        self._scan: dict[int, int] | None = None
+        self._cache: dict[int, tuple] = {}
+        try:
+            self._parse_xref_chain()
+        except _PdfErr:
+            self.xref = {}
+
+    def _parse_xref_chain(self) -> None:
+        last = None
+        for m in _STARTXREF_RE.finditer(self.data[-2048:]):
+            last = m
+        if last is None:
+            raise _PdfErr("no startxref")
+        pos = int(last.group(1))
+        seen: set[int] = set()
+        while 0 <= pos < len(self.data) and pos not in seen:
+            seen.add(pos)
+            i = _skip_ws(self.data, pos)
+            if not self.data.startswith(b"xref", i):
+                raise _PdfErr("xref stream or bad offset")
+            i += 4
+            while True:
+                i = _skip_ws(self.data, i)
+                if self.data.startswith(b"trailer", i):
+                    tr, i = _parse_obj(self.data, i + 7)
+                    if isinstance(tr, dict):
+                        for k, v in tr.items():
+                            self.trailer.setdefault(k, v)
+                    prev = tr.get("Prev") if isinstance(tr, dict) else None
+                    pos = prev if isinstance(prev, int) else -1
+                    break
+                m = _XREF_SUB_RE.match(self.data, i)
+                if not m:
+                    raise _PdfErr("bad xref subsection")
+                start, count = int(m.group(1)), int(m.group(2))
+                i = m.end()
+                for k in range(count):
+                    e = _XREF_ENT_RE.match(self.data, i)
+                    if not e:
+                        raise _PdfErr("bad xref entry")
+                    if e.group(3) == b"n":
+                        # chain runs newest-first: keep the first
+                        # (newest) offset seen per object
+                        self.xref.setdefault(start + k, int(e.group(1)))
+                    i = e.end()
+
+    def scan_offsets(self) -> dict[int, int]:
+        if self._scan is None:
+            scan: dict[int, int] = {}
+            for m in _SCAN_RE.finditer(self.data):
+                # the LAST occurrence wins (incremental updates append)
+                scan[int(m.group(1))] = m.start()
+            self._scan = scan
+        return self._scan
+
+    def _header_at(self, num: int, off) :
+        if not isinstance(off, int) or not 0 <= off < len(self.data):
+            return None
+        i = _skip_ws(self.data, off)
+        m = _OBJ_HDR_RE.match(self.data, i)
+        if m and int(m.group(1)) == num:
+            return m
+        return None
+
+    def get(self, num: int, _depth: int = 0):
+        """(object, stream_bytes|None) for object ``num``; (None, None)
+        when unrecoverable."""
+        if num in self._cache:
+            return self._cache[num]
+        if _depth > 4:
+            return None, None
+        m = self._header_at(num, self.xref.get(num))
+        if m is None:
+            m = self._header_at(num, self.scan_offsets().get(num))
+        if m is None:
+            self._cache[num] = (None, None)
+            return None, None
+        d = self.data
+        try:
+            obj, i = _parse_obj(d, m.end())
+        except _PdfErr:
+            self._cache[num] = (None, None)
+            return None, None
+        raw = None
+        i = _skip_ws(d, i)
+        if d.startswith(b"stream", i):
+            i += 6
+            if d.startswith(b"\r\n", i):
+                i += 2
+            elif i < len(d) and d[i] in b"\r\n":
+                i += 1
+            length = obj.get("Length") if isinstance(obj, dict) else None
+            if isinstance(length, _Ref):
+                length = self.resolve(length, _depth + 1)
+            if (isinstance(length, int) and not isinstance(length, bool)
+                    and 0 <= length <= len(d) - i):
+                j = _skip_ws(d, i + length)
+                if d.startswith(b"endstream", j):
+                    raw = d[i:i + length]
+            if raw is None:
+                # bad/indirect-broken /Length: scan for the terminator
+                j = d.find(b"endstream", i)
+                raw = d[i:j] if j != -1 else d[i:]
+                if raw.endswith(b"\r\n"):
+                    raw = raw[:-2]
+                elif raw[-1:] in (b"\r", b"\n"):
+                    raw = raw[:-1]
+        self._cache[num] = (obj, raw)
+        return obj, raw
+
+    def resolve(self, obj, _depth: int = 0):
+        seen = 0
+        while isinstance(obj, _Ref):
+            obj = self.get(int(obj), _depth)[0]
+            seen += 1
+            if seen > 16:
+                return None
+        return obj
+
+
+def _decode_stream(doc: _Doc, sdict, raw: bytes) -> bytes:
+    filters = doc.resolve(sdict.get("Filter")) if isinstance(sdict, dict) \
+        else None
+    if filters is None:
+        return raw
+    if not isinstance(filters, list):
+        filters = [filters]
+    out = raw
+    for f in filters:
+        f = doc.resolve(f)
+        if f in ("/FlateDecode", "/Fl"):
+            try:
+                out = zlib.decompress(out)
+            except zlib.error:
+                # tolerate trailing garbage / truncation: best effort
+                d = zlib.decompressobj()
+                try:
+                    out = d.decompress(out)
+                except zlib.error:
+                    return b""
+        elif f in ("/ASCIIHexDecode", "/AHx"):
+            digits = re.sub(rb"[^0-9A-Fa-f]", b"",
+                            out.split(b">", 1)[0])
+            if len(digits) % 2:
+                digits += b"0"
+            out = bytes.fromhex(digits.decode("ascii"))
+        else:
+            return b""  # unsupported filter: no text from this stream
+    return out
+
+
+def _walk_pages(doc: _Doc, node, visited: set[int], out: list[dict],
+                depth: int = 0) -> None:
+    if depth > 64 or len(out) >= _MAX_PAGES:
+        return
+    if isinstance(node, _Ref):
+        if int(node) in visited:
+            return
+        visited.add(int(node))
+        node = doc.resolve(node)
+    if not isinstance(node, dict):
+        return
+    kids = doc.resolve(node.get("Kids"))
+    if isinstance(kids, list):
+        for kid in kids:
+            _walk_pages(doc, kid, visited, out, depth + 1)
+        return
+    if node.get("Type") in ("/Page", None) and "Contents" in node:
+        out.append(node)
+
+
+# --- content-stream text tokenizer ----------------------------------------------
+
+
+def _page_text(doc: _Doc, page: dict) -> str:
+    """Decode the page's content stream(s) — /Contents is a stream ref
+    or an array of stream refs — and tokenize the text runs."""
+    refs = page.get("Contents")
+    if isinstance(refs, _Ref):
+        resolved = doc.resolve(refs)
+        refs = resolved if isinstance(resolved, list) else [refs]
+    if not isinstance(refs, list):
+        refs = []
+    chunks: list[bytes] = []
+    for r in refs:
+        if not isinstance(r, _Ref):
+            continue
+        sdict, raw = doc.get(int(r))
+        if raw is not None:
+            chunks.append(_decode_stream(doc, sdict, raw))
+    return _extract_text_runs(b"\n".join(chunks))
+
+
+def _extract_text_runs(content: bytes) -> str:
+    lines: list[str] = []
+    buf: list[str] = []
+    stack: list = []
+    in_text = False
+
+    def flush() -> None:
+        if buf:
+            lines.append("".join(buf))
+            buf.clear()
+
+    def show(s) -> None:
+        if isinstance(s, bytes):
+            buf.append(s.decode("latin-1"))
+
+    i, n = 0, len(content)
+    while i < n:
+        i = _skip_ws(content, i)
+        if i >= n:
+            break
+        c = content[i]
+        if c in b"(<[/" or c in b"+-.0123456789":
+            if content.startswith(b"<<", i):
+                try:
+                    obj, i = _parse_obj(content, i)
+                except _PdfErr:
+                    i += 2
+                    continue
+                stack.append(obj)
+                continue
+            try:
+                obj, i = _parse_obj(content, i)
+            except _PdfErr:
+                i += 1
+                continue
+            stack.append(obj)
+            continue
+        if c in b")>]}":
+            i += 1
+            continue
+        m = _OP_RE.match(content, i)
+        if not m:
+            i += 1
+            continue
+        op = m.group(0)
+        i = m.end()
+        if op == b"BT":
+            in_text = True
+        elif op == b"ET":
+            flush()
+            in_text = False
+        elif in_text:
+            if op == b"Tj":
+                if stack:
+                    show(stack[-1])
+            elif op == b"TJ":
+                if stack and isinstance(stack[-1], list):
+                    for el in stack[-1]:
+                        show(el)
+            elif op == b"'":
+                flush()
+                if stack:
+                    show(stack[-1])
+            elif op == b'"':
+                flush()
+                if stack:
+                    show(stack[-1])
+            elif op in (b"T*", b"Tm"):
+                flush()
+            elif op in (b"Td", b"TD"):
+                ty = stack[-1] if stack else 0
+                if isinstance(ty, (int, float)) and ty != 0:
+                    flush()
+        elif op == b"BI":
+            # inline image: skip to EI so binary data can't fake tokens
+            j = content.find(b"EI", i)
+            i = n if j == -1 else j + 2
+        stack.clear()  # operands never outlive their operator
+    flush()
+    return "\n".join(lines)
+
+
+# --- public API -----------------------------------------------------------------
+
+
+@dataclass
+class PdfText:
+    pages: list[str] = field(default_factory=list)
+    ok: bool = False
+    error: str | None = None
+
+    @property
+    def text(self) -> str:
+        return "\f".join(self.pages)
+
+
+def extract_pdf_text(data: bytes) -> PdfText:
+    """Extract per-page text from a PDF. Never raises: malformed input
+    yields whatever pages could be recovered (ok=False when none)."""
+    try:
+        doc = _Doc(bytes(data))
+        root = doc.resolve(doc.trailer.get("Root"))
+        pages_node = doc.resolve(root.get("Pages")) \
+            if isinstance(root, dict) else None
+        page_dicts: list[dict] = []
+        if isinstance(pages_node, dict):
+            _walk_pages(doc, pages_node, set(), page_dicts)
+        if not page_dicts:
+            # no usable trailer/catalog (truncated or rewritten file):
+            # recover every /Type /Page object in object-number order
+            for num in sorted(doc.scan_offsets()):
+                obj, _raw = doc.get(num)
+                if isinstance(obj, dict) and obj.get("Type") == "/Page" \
+                        and "Contents" in obj:
+                    page_dicts.append(obj)
+                    if len(page_dicts) >= _MAX_PAGES:
+                        break
+        pages = []
+        for p in page_dicts:
+            try:
+                pages.append(_page_text(doc, p))
+            except (_PdfErr, RecursionError):
+                pages.append("")
+        if not page_dicts:
+            return PdfText([], False, "no pages recovered")
+        return PdfText(pages, True, None)
+    except Exception as exc:  # parse-never-raises contract
+        return PdfText([], False, f"{type(exc).__name__}: {exc}"[:200])
+
+
+# --- deterministic writer (test-corpus synthesis) -------------------------------
+
+
+def _esc_lit(s: str) -> bytes:
+    b = s.encode("latin-1", "replace")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(") \
+            .replace(b")", b"\\)")
+
+
+def _page_stream_bytes(lines: list[str], style: int) -> bytes:
+    """Content stream for one page. ``style`` varies the show operator
+    so the corpus exercises every tokenizer path: 0 = Tj runs, 1 = TJ
+    arrays with kerning numbers, 2 = hex strings + ' next-line shows."""
+    parts = [b"BT\n/F1 11 Tf\n13 TL\n72 720 Td\n"]
+    for idx, line in enumerate(lines):
+        if style == 1:
+            half = len(line) // 2
+            a, b = _esc_lit(line[:half]), _esc_lit(line[half:])
+            tj = b"[(" + a + b") -250 (" + b + b")] TJ\n"
+            parts.append((b"T*\n" if idx else b"") + tj)
+        elif style == 2:
+            hx = line.encode("latin-1", "replace").hex().encode()
+            if idx == 0:
+                parts.append(b"<" + hx + b"> Tj\n")
+            else:
+                parts.append(b"<" + hx + b"> '\n")
+        else:
+            parts.append((b"T*\n" if idx else b"")
+                         + b"(" + _esc_lit(line) + b") Tj\n")
+    parts.append(b"ET")
+    return b"".join(parts)
+
+
+def build_pdf(pages: list[list[str]], compress: bool = True,
+              style: int = 0) -> bytes:
+    """Write a classic PDF 1.4 (catalog / page tree / per-page Flate
+    content streams / xref table / trailer). Deterministic in its
+    arguments; shares no code with the extractor."""
+    n_pages = max(len(pages), 1)
+    pages = pages or [[""]]
+    font_num = 2 + 2 * n_pages + 1
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    kids = " ".join(f"{3 + 2 * k} 0 R" for k in range(n_pages))
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+             ).encode())
+    for k, lines in enumerate(pages):
+        pnum, cnum = 3 + 2 * k, 4 + 2 * k
+        emit(pnum, (f"<< /Type /Page /Parent 2 0 R "
+                    f"/MediaBox [0 0 612 792] "
+                    f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+                    f"/Contents {cnum} 0 R >>").encode())
+        content = _page_stream_bytes(lines, style)
+        if compress:
+            data = zlib.compress(content, 6)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
+        else:
+            data = content
+            head = b"<< /Length %d >>" % len(data)
+        emit(cnum, head + b"\nstream\n" + data + b"\nendstream")
+    emit(font_num, b"<< /Type /Font /Subtype /Type1 "
+                   b"/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    xref_pos = len(out)
+    out.extend(b"xref\n0 %d\n" % (font_num + 1))
+    out.extend(b"0000000000 65535 f \n")
+    for num in range(1, font_num + 1):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
+               b"%%%%EOF\n" % (font_num + 1, xref_pos))
+    return bytes(out)

@@ -100,7 +100,10 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _decode_payload(payload: bytes) -> tuple[str, np.ndarray]:
     """Stub decode: parses the deterministic fake header and returns the
     body as a uint8 array. On a real cluster this is the PIL / soundfile /
-    pyav call; the surrounding plumbing is identical."""
+    pyav call; the surrounding plumbing is identical. PDF payloads are
+    the one codec with a REAL decoder behind this seam — see
+    ``synthesize_pdfs`` / ``extract_pdf`` below, backed by
+    readability/pdf.py."""
     if payload[:4] != _MAGIC:
         raise ValueError("unknown codec")
     kind = _KINDS[payload[4]]
@@ -140,6 +143,100 @@ def extract_features(media: DataFrame, dims: int = 16) -> DataFrame:
     return (media.select("media_id", "payload")
             .repartition(F.xxhash64("media_id"))
             .mapInPandas(featurize, FEATURES_SCHEMA))
+
+
+# --- PDF payloads (real codec behind the seam) ----------------------------------
+
+PDF_MEDIA_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("url", StringType()),
+    StructField("payload", BinaryType()),
+])
+
+PDF_TEXT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("ok", StringType()),
+    StructField("n_pages", LongType()),
+    StructField("text_md5", StringType()),
+    StructField("text_len", LongType()),
+])
+
+
+def build_doc_pdf(doc_id: int, text: str) -> bytes:
+    """Deterministic real-PDF payload for one document: the text split
+    into 8-word lines, 12 lines per page, written by the classic-layout
+    writer (readability/pdf.py). ``doc_id % 3`` rotates the show-operator
+    style (Tj / TJ-array / hex-string) so the whole tokenizer surface is
+    exercised at corpus scale, and three deterministic damage classes
+    mirror real crawl payloads: doc_id % 89 -> header stub only
+    (unrecoverable, ok=false), % 53 -> tail truncated before the xref
+    (object-scan salvage), % 71 -> stream /Length corrupted by a
+    byte-shifting edit (endstream-scan + stale-xref salvage)."""
+    from nreadability_spark.readability.pdf import build_pdf
+    words = (text or "").split()
+    lines = [" ".join(words[i:i + 8]) for i in range(0, len(words), 8)] \
+        or ["empty document"]
+    pages = [lines[i:i + 12] for i in range(0, len(lines), 12)]
+    pdf = build_pdf(pages, compress=True, style=int(doc_id) % 3)
+    if doc_id % 89 == 0:
+        return pdf[:40]
+    if doc_id % 53 == 0:
+        return pdf[:pdf.rfind(b"xref")]
+    if doc_id % 71 == 0:
+        return pdf.replace(b"/Length ", b"/Length 9", 1)
+    return pdf
+
+
+def synthesize_pdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PDF corpus derived from the documents table (the
+    PDF analog of pages.synthesize_pages)."""
+    ensure_package_shipped(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "url": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                rows["doc_id"].append(did)
+                rows["url"].append(
+                    f"https://host{did % 97}.example.org/docs/{did}.pdf")
+                rows["payload"].append(build_doc_pdf(did, text))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, PDF_MEDIA_SCHEMA)
+
+
+def extract_pdf(pdfs: DataFrame) -> DataFrame:
+    """PDF text extraction over binary payloads (Arrow-batched; the
+    kernel is pure Python per payload, exactly like the html transcoder
+    batches). Output ships md5/len fingerprints, not the text blobs —
+    the serde-narrow shape of extract_fingerprints."""
+    spark = pdfs.sparkSession
+    ensure_package_shipped(spark)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nreadability_spark.readability.pdf import extract_pdf_text
+        for pdf in batches:
+            out = {"doc_id": [], "ok": [], "n_pages": [], "text_md5": [],
+                   "text_len": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                r = extract_pdf_text(bytes(payload)
+                                     if payload is not None else b"")
+                text = r.text
+                out["doc_id"].append(int(did))
+                out["ok"].append("ok" if r.ok else
+                                 f"error: {r.error}"[:100])
+                out["n_pages"].append(len(r.pages))
+                out["text_md5"].append(
+                    hashlib.md5(text.encode("utf-8")).hexdigest())
+                out["text_len"].append(len(text))
+            yield pd.DataFrame(out)
+
+    return (pdfs.select("doc_id", "payload")
+            .repartition(F.xxhash64("doc_id"))
+            .mapInPandas(run, PDF_TEXT_SCHEMA))
 
 
 def sample_frames(media: DataFrame, every_n: int = 4,

@@ -236,6 +236,32 @@ def gen_media_frames(docs: list[tuple[int, str]], every_n: int = 4,
     })
 
 
+def gen_pdf_extract(docs: list[tuple[int, str]]) -> pa.Table:
+    """PDF corpus oracle: build_doc_pdf + extract_pdf_text run locally
+    over the same documents rows the Spark op synthesizes from."""
+    from nreadability_spark.readability.pdf import extract_pdf_text
+    from nreadability_spark.spark.multimodal import build_doc_pdf
+    cols: dict[str, list] = {k: [] for k in (
+        "doc_id", "ok", "n_pages", "text_md5", "text_len")}
+    for doc_id, text in docs:
+        did = int(doc_id)
+        r = extract_pdf_text(build_doc_pdf(did, text))
+        text_out = r.text
+        cols["doc_id"].append(did)
+        cols["ok"].append("ok" if r.ok else f"error: {r.error}"[:100])
+        cols["n_pages"].append(len(r.pages))
+        cols["text_md5"].append(
+            hashlib.md5(text_out.encode("utf-8")).hexdigest())
+        cols["text_len"].append(len(text_out))
+    return pa.table({
+        "doc_id": pa.array(cols["doc_id"], pa.int64()),
+        "ok": pa.array(cols["ok"], pa.string()),
+        "n_pages": pa.array(cols["n_pages"], pa.int64()),
+        "text_md5": pa.array(cols["text_md5"], pa.string()),
+        "text_len": pa.array(cols["text_len"], pa.int64()),
+    })
+
+
 def gen_warc_pages(sf_dir: str) -> pa.Table:
     """Raw-ingest oracle: the pure streaming WARC parser run locally over
     the SAME deterministic per-record-gzip segments read_pages_warc scans
@@ -284,7 +310,8 @@ def generate(sf_dir: str) -> dict[str, str]:
             ("stitch_multipage", gen_stitch(docs)),
             ("media_features", gen_media_features(docs)),
             ("media_frames", gen_media_frames(docs)),
-            ("warc_pages", gen_warc_pages(sf_dir))):
+            ("warc_pages", gen_warc_pages(sf_dir)),
+            ("pdf_extract", gen_pdf_extract(docs))):
         path = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(table, path)
         written[name] = path
