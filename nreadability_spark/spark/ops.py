@@ -820,6 +820,155 @@ def dedup_minhash_bucketed(spark: SparkSession,
             .distinct())
 
 
+_INC_BATCH_MOD = 10  # doc_id % 10 == 0 is the "newly ingested" batch
+
+
+def _drop_bucketed_table(spark: SparkSession, table: str) -> None:
+    spark.sql(f"drop table if exists {table}")
+    try:
+        import shutil
+        wh = spark.conf.get("spark.sql.warehouse.dir",
+                            "spark-warehouse").replace("file:", "")
+        shutil.rmtree(os.path.join(wh, table.split(".")[-1]),
+                      ignore_errors=True)
+    except Exception:
+        pass
+
+
+def minhash_index_build(spark: SparkSession, sf_dir: str,
+                        table: str = "minhash_idx",
+                        n_buckets: int = 16,
+                        batch_mod: int = _INC_BATCH_MOD) -> None:
+    """Persist the corpus state INCREMENTAL dedup joins against: the
+    UNCAPPED band rows of every already-ingested document (doc_id %
+    batch_mod != 0 stands in for "the existing corpus"), bucketed on the
+    band join key, plus a per-bucket count table in the same layout.
+    Counts are additive rows (consumers sum them), so a batch append
+    never rewrites history. The cap is deliberately NOT baked in at
+    build time: whether a bucket is oversized depends on index+batch
+    together, so the query applies it against the summed counts."""
+    bands = (_minhash_bands(minhash_signatures(spark, sf_dir))
+             .where(F.col("doc_id") % batch_mod != 0))
+    _drop_bucketed_table(spark, table)
+    _drop_bucketed_table(spark, f"{table}_counts")
+    (bands.write.mode("overwrite")
+     .bucketBy(n_buckets, "band_id", "band_sig")
+     .sortBy("band_id", "band_sig")
+     .saveAsTable(table))
+    counts = (spark.table(table)
+              .groupBy("band_id", "band_sig")
+              .agg(F.count("*").cast("long").alias("n")))
+    (counts.write.mode("overwrite")
+     .bucketBy(n_buckets, "band_id", "band_sig")
+     .saveAsTable(f"{table}_counts"))
+
+
+def minhash_index_append(spark: SparkSession, batch_bands: DataFrame,
+                         table: str = "minhash_idx",
+                         n_buckets: int = 16) -> None:
+    """Fold a processed batch into the persisted index: append its band
+    rows (the writer must restate the bucket spec — Spark verifies it
+    against the table) and its per-bucket counts as delta rows — the
+    post-dedup step of each ingest cycle, so the NEXT batch sees this
+    one without any corpus re-self-join."""
+    (batch_bands.select("doc_id", "band_id", "band_sig")
+     .write.mode("append")
+     .bucketBy(n_buckets, "band_id", "band_sig")
+     .sortBy("band_id", "band_sig")
+     .saveAsTable(table))
+    (batch_bands.groupBy("band_id", "band_sig")
+     .agg(F.count("*").cast("long").alias("n"))
+     .write.mode("append")
+     .bucketBy(n_buckets, "band_id", "band_sig")
+     .saveAsTable(f"{table}_counts"))
+
+
+def _incremental_pairs(spark: SparkSession, batch_bands: DataFrame,
+                       table: str = "minhash_idx") -> DataFrame:
+    """Candidate pairs touching the batch, against a persisted index:
+    batch-vs-corpus joins the bucketed band table (ZERO exchange on the
+    index side — only the small batch shuffles to the bucket layout),
+    batch-vs-batch is a tiny self-join. The over-cap bucket list uses
+    summed index counts (bucketed scan, exchange-free aggregation) plus
+    the batch's own counts, so capping matches a from-scratch run over
+    index+batch exactly."""
+    keys = ["band_id", "band_sig"]
+    idx = spark.table(table)
+    idx_counts = (spark.table(f"{table}_counts")
+                  .groupBy(*keys).agg(F.sum("n").alias("n_idx")))
+    batch_counts = (batch_bands.groupBy(*keys)
+                    .agg(F.count("*").alias("n_new")))
+    big = (idx_counts.join(batch_counts, keys, "full_outer")
+           .where(F.coalesce(F.col("n_idx"), F.lit(0))
+                  + F.coalesce(F.col("n_new"), F.lit(0)) > _MAX_BUCKET)
+           .select(*keys))
+    # batch-sized intermediate, consumed by three joins below: cut once
+    # so the counts subplan (index scan + full-outer) runs once, not 3x
+    ok_batch = _cut_lineage(
+        batch_bands.join(F.broadcast(big), keys, "left_anti"))
+    # a pair only exists when BOTH sides share the bucket, so dropping
+    # the batch side of an oversized bucket kills its pairs — the index
+    # side needs no second anti-join
+    new_old = (ok_batch.join(idx.withColumnRenamed("doc_id", "doc_other"),
+                             keys)
+               # guard against self-pairs when a batch is re-checked
+               # after its own bands were appended to the index
+               .where(F.col("doc_id") != F.col("doc_other"))
+               .select(F.least("doc_id", "doc_other").alias("doc1"),
+                       F.greatest("doc_id", "doc_other").alias("doc2")))
+    a = ok_batch.selectExpr("doc_id as doc1", "band_id", "band_sig")
+    b = ok_batch.selectExpr("doc_id as doc2", "band_id", "band_sig")
+    new_new = (a.join(b, keys)
+               .where(F.col("doc1") < F.col("doc2"))
+               .select("doc1", "doc2"))
+    return (new_old.unionByName(new_new)
+            .select(F.col("doc1").cast("long"), F.col("doc2").cast("long"))
+            .distinct())
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str,
+                              table: str = "minhash_idx") -> DataFrame:
+    """The production ingest shape for LSH dedup at 100 TB: a new
+    snapshot's documents are checked against the PERSISTED band index
+    (built once per corpus, appended per batch) instead of re-self-
+    joining the whole corpus every run. Rows equal the full-corpus LSH
+    restricted to pairs touching the batch (the oracle pins this).
+
+    The driver entry rebuilds the index each call so the query is
+    idempotent; production calls minhash_index_build once, then
+    _incremental_pairs + minhash_index_append per batch (the append
+    cycle is pytest-locked)."""
+    minhash_index_build(spark, sf_dir, table=table)
+    batch_bands = _cut_lineage(
+        _minhash_bands(minhash_signatures(spark, sf_dir))
+        .where(F.col("doc_id") % _INC_BATCH_MOD == 0))
+    return _incremental_pairs(spark, batch_bands, table=table)
+
+
+def _inc_lsh_sql_duck() -> str:
+    band_rows = []
+    for band in range(4):
+        cols = " || ',' || ".join(
+            f"cast(m{band * 4 + j} as varchar)" for j in range(4))
+        band_rows.append(
+            f"select doc_id, {band} as band_id, {cols} as band_sig from sigs")
+    return f"""
+        with sigs as ({MINHASH_SIGNATURES_SQL}),
+        bands as ({' union all '.join(band_rows)}),
+        {_cap_buckets_duck('bands')}
+        select distinct cast(a.doc_id as bigint) as doc1,
+                        cast(b.doc_id as bigint) as doc2
+        from bands_ok a join bands_ok b
+          on a.band_id = b.band_id and a.band_sig = b.band_sig
+         and a.doc_id < b.doc_id
+        where a.doc_id % {_INC_BATCH_MOD} = 0
+           or b.doc_id % {_INC_BATCH_MOD} = 0
+    """
+
+
+DEDUP_MINHASH_INCREMENTAL_SQL = _inc_lsh_sql_duck()
+
+
 def _lsh_sql_duck() -> str:
     band_rows = []
     for band in range(4):
@@ -2852,6 +3001,8 @@ SQL_OPS = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIGNATURES_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_minhash_incremental": (dedup_minhash_incremental,
+                                  DEDUP_MINHASH_INCREMENTAL_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_keep_representatives": (dedup_keep_representatives,

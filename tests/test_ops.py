@@ -242,3 +242,45 @@ def test_pagerank_edges_huge_weights_no_int64_overflow(spark):
     # exact floor arithmetic keeps the ordering strict, and every rank
     # holds the damped-base floor
     assert pr[2] > pr[3] >= _PR_BASE
+
+
+def test_minhash_incremental_append_cycle(spark):
+    """The per-batch ingest cycle: check the batch against the persisted
+    index, then append its bands. A later query must see the appended
+    batch through the same bucketed layout (no rebuild), yield no
+    self-pairs, and reproduce the original pair set exactly."""
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.ops import (_cut_lineage,
+                                              _incremental_pairs,
+                                              _minhash_bands,
+                                              minhash_index_append,
+                                              minhash_index_build,
+                                              minhash_signatures)
+    table = "t_inc_cycle"
+    try:
+        minhash_index_build(spark, SF_DIR, table=table)
+        idx_rows = spark.table(table).count()
+        batch = _cut_lineage(
+            _minhash_bands(minhash_signatures(spark, SF_DIR))
+            .where(F.col("doc_id") % 10 == 0))
+        pairs1 = sorted(map(tuple,
+                            _incremental_pairs(spark, batch, table=table)
+                            .collect()))
+        assert pairs1  # demo corpus guarantees batch-touching dups
+        minhash_index_append(spark, batch, table=table)
+        # appended bands are visible and the counts delta sums correctly
+        assert spark.table(table).count() == idx_rows + batch.count()
+        total_n = spark.table(f"{table}_counts") \
+            .agg(F.sum("n").alias("s")).collect()[0]["s"]
+        assert total_n == idx_rows + batch.count()
+        # re-checking the same batch now ALSO matches it inside the
+        # index: no self-pairs, and the pair set is unchanged (its
+        # new-new pairs are found through the index instead)
+        pairs2 = sorted(map(tuple,
+                            _incremental_pairs(spark, batch, table=table)
+                            .collect()))
+        assert all(d1 != d2 for d1, d2 in pairs2)
+        assert pairs2 == pairs1
+    finally:
+        spark.sql(f"drop table if exists {table}")
+        spark.sql(f"drop table if exists {table}_counts")

@@ -501,3 +501,46 @@ def test_minhash_bucketed_band_join_has_no_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
         spark.sql("drop table if exists t_minhash_bands_plan")
+
+
+def test_minhash_incremental_index_side_has_no_exchange(spark):
+    """The incremental-ingest contract: the persisted band index and its
+    count table are read through their bucket layout with ZERO exchange
+    above either FileScan — only the (small) batch side shuffles. A
+    regression here means every batch re-shuffles the corpus index."""
+    import re
+    from nreadability_spark.spark.ops import dedup_minhash_incremental
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup_minhash_incremental(spark, SF_DIR,
+                                       table="t_minhash_inc_plan")
+        # the indented toString tree (not 'formatted'): scan attributes
+        # and tree shape in one text so the walk below can pair them
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        spark.sql("drop table if exists t_minhash_inc_plan")
+        spark.sql("drop table if exists t_minhash_inc_plan_counts")
+    scans = [m.start() for m in
+             re.finditer(r"FileScan parquet [^\n]*t_minhash_inc_plan", plan)]
+    assert scans, "index table scans missing from the plan"
+    assert plan.count("SelectedBucketsCount") == len(scans)
+    # no Exchange may sit between an index scan and the operator that
+    # consumes it: walk upward from each scan line through its
+    # indentation and fail on any Exchange before a Join/Aggregate
+    lines = plan.splitlines()
+    for ln, line in enumerate(lines):
+        if "FileScan parquet" not in line or "t_minhash_inc_plan" \
+                not in line:
+            continue
+        depth = len(line) - len(line.lstrip(" :+-"))
+        for k in range(ln - 1, -1, -1):
+            up = lines[k]
+            udepth = len(up) - len(up.lstrip(" :+-"))
+            if udepth >= depth:
+                continue
+            assert "Exchange" not in up, (
+                f"Exchange above index scan:\n{up}\n{line}")
+            if "Join" in up or "HashAggregate" in up:
+                break
+            depth = udepth
