@@ -2012,6 +2012,148 @@ LM_BIGRAM_SCORE_SQL = f"""
 """
 
 
+# --- BPE vocabulary training ------------------------------------------------------
+
+_BPE_MERGE_ROUNDS = 6
+
+
+def _bpe_initial_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, cnt, pos, sym): every distinct pre-token of the corpus
+    split into single-character symbols, weighted by occurrence count.
+    This is the ONLY pass that touches the corpus; everything after is
+    vocabulary-sized."""
+    docs = _read(spark, sf_dir, "documents")
+    words = (docs
+             .select(F.lower(F.coalesce(F.col("text"), F.lit("")))
+                     .alias("low"))
+             .select(F.explode(F.regexp_extract_all(
+                 "low", F.lit(_BPE_PAT), F.lit(0))).alias("word"))
+             .groupBy("word").agg(F.count("*").cast("long").alias("cnt")))
+    return (words
+            .selectExpr("word", "cnt",
+                        "explode(sequence(1, length(word))) as pos")
+            .selectExpr("word", "cnt", "pos",
+                        "substring(word, pos, 1) as sym"))
+
+
+def _bpe_best_pair(syms: DataFrame, w) -> DataFrame:
+    """One round's winning pair: adjacent-pair counts (one pair-key
+    exchange, map-side partial) -> top-1 via TakeOrdered (no global
+    sort), ties broken by (count desc, pair asc)."""
+    return (syms.withColumn("nxt", F.lead("sym").over(w))
+            .where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt").agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("sym").asc(),
+                     F.col("nxt").asc())
+            .limit(1)
+            .select(F.col("sym").alias("l"), F.col("nxt").alias("r"),
+                    F.col("c")))
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str,
+               rounds: int = _BPE_MERGE_ROUNDS) -> DataFrame:
+    """Exact byte-pair-encoding merge training over the corpus — the
+    canonical iterative AGGREGATION dataflow beyond PageRank's
+    propagation and CC's pointer jumping: K rounds of (count all
+    adjacent symbol pairs weighted by word frequency) -> (pick the max,
+    ties broken deterministically by count desc, pair asc) -> (apply
+    the merge left-to-right non-overlapping in every word). Output is
+    the learned merge table (round, left_sym, right_sym, pair_count).
+
+    The left-to-right non-overlap rule ("aaaa" + merge (a,a) ->
+    [aa][aa], never the middle pair) is compiled to windows instead of
+    a sequential fold: positions where (sym, next) equals the merge
+    pair form runs of consecutive candidates; within each run
+    (island-keyed by pos minus the running candidate count) exactly the
+    odd-ranked candidates merge, and the row AFTER a merged position is
+    absorbed. Both engines run this same window program, so the merge
+    application is bit-identical without any per-row Python.
+
+    Scale shape: the symbol table holds one row per (distinct word,
+    position) — vocabulary-bounded (Heaps' law), NOT corpus-bounded;
+    the corpus is touched exactly once to build word counts. Per round:
+    one pair-key exchange for the count, a TakeOrdered top-1 (no global
+    sort), the 1-row merge broadcast by crossJoin, and word-partitioned
+    windows that reuse one exchange; lineage is cut every round."""
+    syms = _cut_lineage(_bpe_initial_syms(spark, sf_dir))
+    w = Window.partitionBy("word").orderBy("pos")
+    out: DataFrame | None = None
+    for rnd in range(1, rounds + 1):
+        best = _cut_lineage(_bpe_best_pair(syms, w))
+        rec = best.select(
+            F.lit(rnd).cast("long").alias("round"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("c").cast("long").alias("pair_count"))
+        out = rec if out is None else out.unionByName(rec)
+        t = (syms.crossJoin(F.broadcast(best))
+             .withColumn("nxt", F.lead("sym").over(w))
+             .withColumn("cand", F.coalesce(
+                 (F.col("sym") == F.col("l"))
+                 & (F.col("nxt") == F.col("r")), F.lit(False))))
+        u = t.withColumn("cum", F.sum(F.col("cand").cast("int")).over(w))
+        v = u.withColumn("rn", F.row_number().over(
+            Window.partitionBy("word", (F.col("pos") - F.col("cum")),
+                               "cand").orderBy("pos")))
+        x = v.withColumn("merged",
+                         F.col("cand") & (F.col("rn") % 2 == 1))
+        y = x.withColumn("pm", F.lag("merged").over(w))
+        syms = _cut_lineage(
+            y.where(~F.coalesce(F.col("pm"), F.lit(False)))
+            .select("word", "cnt",
+                    F.row_number().over(w).alias("pos"),
+                    F.when(F.col("merged"), F.concat("sym", "nxt"))
+                    .otherwise(F.col("sym")).alias("sym")))
+    return out
+
+
+def _bpe_merges_sql(rounds: int = _BPE_MERGE_ROUNDS) -> str:
+    over = "over (partition by word order by pos)"
+    ctes = [f"""words as (
+      select word, count(*) as cnt from (
+        select unnest(regexp_extract_all(lower(coalesce(text, '')),
+                      '{_BPE_PAT}')) as word
+        from documents)
+      group by 1)""",
+            """s0 as (
+      select word, cnt, pos, substr(word, pos, 1) as sym
+      from (select word, cnt,
+                   unnest(range(1, length(word) + 1)) as pos
+            from words))"""]
+    for i in range(1, rounds + 1):
+        s = f"s{i - 1}"
+        ctes.append(f"""p{i} as (
+      select sym as l, nxt as r, sum(cnt) as c from (
+        select sym, lead(sym) {over} as nxt, cnt from {s})
+      where nxt is not null group by 1, 2),
+    b{i} as (select l, r, c from p{i}
+             order by c desc, l asc, r asc limit 1),
+    t{i} as (
+      select word, cnt, pos, sym, lead(sym) {over} as nxt,
+             coalesce(sym = b.l and lead(sym) {over} = b.r,
+                      false) as cand
+      from {s}, b{i} b),
+    u{i} as (select *, sum(case when cand then 1 else 0 end)
+                       {over} as cum from t{i}),
+    v{i} as (select *, row_number() over (
+               partition by word, pos - cum, cand order by pos) as rn
+             from u{i}),
+    x{i} as (select *, cand and rn % 2 = 1 as merged from v{i}),
+    y{i} as (select *, lag(merged) {over} as pm from x{i}),
+    s{i} as (
+      select word, cnt, row_number() {over} as pos,
+             case when merged then sym || nxt else sym end as sym
+      from y{i} where not coalesce(pm, false))""")
+    rows = "\n      union all ".join(
+        f"select cast({i} as bigint) as round, l as left_sym, "
+        f"r as right_sym, cast(c as bigint) as pair_count from b{i}"
+        for i in range(1, rounds + 1))
+    return "with " + ",\n    ".join(ctes) + "\n    " + rows
+
+
+BPE_MERGES_SQL = _bpe_merges_sql()
+
+
 # --- PII detection / redaction ---------------------------------------------------
 
 # bracket-class-only regexes so the identical pattern string is valid in
@@ -3012,6 +3154,7 @@ SQL_OPS = {
     "dedup_lines_within_doc": (dedup_lines_within_doc,
                                DEDUP_LINES_WITHIN_DOC_SQL),
     "lm_bigram_score": (lm_bigram_score, LM_BIGRAM_SCORE_SQL),
+    "bpe_merges": (bpe_merges, BPE_MERGES_SQL),
     "gopher_quality": (gopher_quality, GOPHER_QUALITY_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "stratified_sample_fixed": (stratified_sample_fixed,

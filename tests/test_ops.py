@@ -284,3 +284,68 @@ def test_minhash_incremental_append_cycle(spark):
     finally:
         spark.sql(f"drop table if exists {table}")
         spark.sql(f"drop table if exists {table}_counts")
+
+
+def test_bpe_merges_matches_pure_python_reference(spark):
+    """Independent oracle beyond the DuckDB window program: classic
+    sequential BPE training (dict counting + left-to-right scan merge)
+    in plain Python over the same corpus must produce the identical
+    merge table — proving the window/island compilation implements real
+    BPE, not merely the same SQL twice."""
+    import re as _re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from nreadability_spark.spark.ops import (_BPE_MERGE_ROUNDS, _BPE_PAT,
+                                              bpe_merges)
+
+    texts = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                          columns=["text"])["text"].to_pylist()
+    pat = _re.compile(_BPE_PAT)
+    vocab = Counter()
+    for t in texts:
+        vocab.update(pat.findall((t or "").lower()))
+    words = {w: (tuple(w), c) for w, c in vocab.items()}
+    expected = []
+    for rnd in range(1, _BPE_MERGE_ROUNDS + 1):
+        pairs = Counter()
+        for syms, c in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expected.append((rnd, a, b, c))
+        for key, (syms, cnt) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[key] = (tuple(out), cnt)
+    got = sorted(tuple(r) for r in bpe_merges(spark, SF_DIR).collect())
+    assert got == sorted(expected)
+
+
+def test_bpe_round_plan_one_pair_exchange(spark):
+    """Each training round's pair count must be a map-side-partial
+    aggregation with ONE pair-key exchange feeding a TakeOrdered top-1
+    (a global sort of the pair table would be a scale regression)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.ops import (_bpe_best_pair,
+                                              _bpe_initial_syms,
+                                              _cut_lineage)
+    syms = _cut_lineage(_bpe_initial_syms(spark, SF_DIR))
+    w = W.partitionBy("word").orderBy("pos")
+    plan = _bpe_best_pair(syms, w)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan
+    # two exchanges total: the word-window's and the pair count's —
+    # nothing else (no global Sort node outside the TakeOrdered)
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 2
