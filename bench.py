@@ -125,13 +125,33 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "stratified_sample_fixed",
                  "lang_mix_weights", "pack_sequences", "pack_sequences64",
                  "dedup_lines", "dedup_lines_within_doc", "lm_bigram_score",
-                 "host_pagerank", "gopher_quality"):
+                 "host_pagerank", "gopher_quality", "bpe_merges",
+                 "dedup_minhash_incremental"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.agg(F.count("*")).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         plan_hashes[name] = plan_hash(df)
+
+    # kernel-side additions: PDF corpus decode and raw-WARC ingest (the
+    # synthesis cost is driver-side/file IO and excluded via warm dirs)
+    from nreadability_spark.spark.multimodal import (extract_pdf,
+                                                     synthesize_pdfs)
+    t0 = time.perf_counter()
+    pdf_df = extract_pdf(synthesize_pdfs(spark, sf_dir))
+    pdf_df.agg(F.count("*")).collect()
+    timings["pdf_extract"] = round(time.perf_counter() - t0, 3)
+    plan_hashes["pdf_extract"] = plan_hash(pdf_df)
+
+    from nreadability_spark.spark.pages import synthesize_warc_dir
+    from nreadability_spark.spark.sources import read_pages_warc
+    warc_dir = synthesize_warc_dir(sf_dir)  # cached across runs
+    t0 = time.perf_counter()
+    wdf = read_pages_warc(spark, warc_dir)
+    wdf.agg(F.count("*"), F.sum(F.length("html"))).collect()
+    timings["warc_pages"] = round(time.perf_counter() - t0, 3)
+    plan_hashes["warc_pages"] = plan_hash(wdf)
 
     # IVF index lifecycle: the whole-corpus build pass (Arrow-kernel cell
     # assignment -> cell-partitioned parquet) + the DPP-pruned search

@@ -2,21 +2,25 @@
 
 The north rule names "PDF/layout parse" as part of the extraction scope
 (BASELINE.json:14); the C# reference has no PDF path, so this module is
-a from-scratch minimal PDF 1.4 content-stream text extractor rather
-than a port: classic xref walk (object-scan fallback for truncated or
-rewritten files), Flate stream decode via zlib, page-tree traversal,
-and a BT/ET text-run tokenizer covering Tj / TJ / ' / " with literal
-(escapes, octal, nested parens) and hex strings. Layout is reduced to
-a deterministic line model: Td/TD with a vertical move, T*, Tm, ' and
-ET start a new line; everything shown in between concatenates.
+a from-scratch minimal PDF content-stream text extractor rather than a
+port. Structure layer: classic xref tables AND PDF 1.5 cross-reference
+streams (/W field widths, /Index subsections, PNG Up/Sub/Average/Paeth
+and TIFF predictors), object streams (/ObjStm — where modern crawl
+PDFs keep their page dicts), hybrid-reference files (/XRefStm), with a
+validated-offset object-scan fallback (plus ObjStm member salvage) for
+truncated or byte-shifted files. Stream layer: Flate/ASCIIHex decode.
+Text layer: page-tree traversal with cycle guard and a BT/ET text-run
+tokenizer covering Tj / TJ / ' / " with literal (escapes, octal,
+nested parens) and hex strings. Layout is reduced to a deterministic
+line model: Td/TD with a vertical move, T*, Tm, ' and ET start a new
+line; everything shown in between concatenates.
 
 Scope (documented limitations, deliberate for a minimal extractor):
 no CMap/ToUnicode decoding (CID-font PDFs yield raw code bytes), no
-xref streams (PDF 1.5 cross-reference streams fall back to the object
-scan, which recovers them fine), no encryption. ``extract_pdf_text``
-NEVER raises on malformed input — corrupt files yield fewer pages and
-``ok=False`` when nothing could be recovered, mirroring the html
-parser's parse-never-raises contract.
+encryption, no LZW/DCT filters. ``extract_pdf_text`` NEVER raises on
+malformed input — corrupt files yield fewer pages and ``ok=False``
+when nothing could be recovered, mirroring the html parser's
+parse-never-raises contract.
 
 ``build_pdf`` is the deterministic writer used to synthesize the test
 corpus; writer and parser share no code paths, so round-tripping is a
@@ -200,9 +204,14 @@ class _Doc:
     def __init__(self, data: bytes):
         self.data = data
         self.xref: dict[int, int] = {}
+        # objnum -> (objstm_num, index): PDF 1.5 compressed objects
+        self.compressed: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
         self._scan: dict[int, int] | None = None
         self._cache: dict[int, tuple] = {}
+        self._objstm_cache: dict[int, dict] = {}
+        self._objstm_map: dict[int, tuple[int, int]] | None = None
+        self._objstm_building = False
         try:
             self._parse_xref_chain()
         except _PdfErr:
@@ -219,33 +228,97 @@ class _Doc:
         while 0 <= pos < len(self.data) and pos not in seen:
             seen.add(pos)
             i = _skip_ws(self.data, pos)
-            if not self.data.startswith(b"xref", i):
-                raise _PdfErr("xref stream or bad offset")
-            i += 4
-            while True:
-                i = _skip_ws(self.data, i)
-                if self.data.startswith(b"trailer", i):
-                    tr, i = _parse_obj(self.data, i + 7)
-                    if isinstance(tr, dict):
-                        for k, v in tr.items():
-                            self.trailer.setdefault(k, v)
-                    prev = tr.get("Prev") if isinstance(tr, dict) else None
-                    pos = prev if isinstance(prev, int) else -1
+            if self.data.startswith(b"xref", i):
+                pos = self._parse_classic_section(i + 4)
+            else:
+                pos = self._parse_xref_stream(i)
+
+    def _parse_classic_section(self, i: int) -> int:
+        """Classic ``xref`` table at ``i``; returns /Prev or -1."""
+        while True:
+            i = _skip_ws(self.data, i)
+            if self.data.startswith(b"trailer", i):
+                tr, i = _parse_obj(self.data, i + 7)
+                if not isinstance(tr, dict):
+                    return -1
+                for k, v in tr.items():
+                    self.trailer.setdefault(k, v)
+                # hybrid-reference file: the real entries for
+                # compressed objects live in a parallel xref stream
+                xs = tr.get("XRefStm")
+                if isinstance(xs, int) and 0 <= xs < len(self.data):
+                    try:
+                        self._parse_xref_stream(
+                            _skip_ws(self.data, xs))
+                    except _PdfErr:
+                        pass
+                prev = tr.get("Prev")
+                return prev if isinstance(prev, int) else -1
+            m = _XREF_SUB_RE.match(self.data, i)
+            if not m:
+                raise _PdfErr("bad xref subsection")
+            start, count = int(m.group(1)), int(m.group(2))
+            i = m.end()
+            for k in range(count):
+                e = _XREF_ENT_RE.match(self.data, i)
+                if not e:
+                    raise _PdfErr("bad xref entry")
+                if e.group(3) == b"n":
+                    # chain runs newest-first: keep the first
+                    # (newest) offset seen per object
+                    self.xref.setdefault(start + k, int(e.group(1)))
+                i = e.end()
+
+    def _parse_xref_stream(self, i: int) -> int:
+        """PDF 1.5 cross-reference STREAM at ``i`` (``N g obj`` with a
+        /Type /XRef Flate stream; /W field widths, /Index subsections,
+        optional PNG predictor). Populates xref + compressed maps and
+        the trailer fields carried by the stream dict; returns /Prev."""
+        m = _OBJ_HDR_RE.match(self.data, i)
+        if not m:
+            raise _PdfErr("bad xref stream offset")
+        num = int(m.group(1))
+        obj, raw = self.get(num)
+        if not isinstance(obj, dict) or raw is None \
+                or obj.get("Type") != "/XRef":
+            raise _PdfErr("not an xref stream")
+        data = _decode_stream(self, obj, raw)
+        w = obj.get("W")
+        if not (isinstance(w, list) and len(w) >= 3
+                and all(isinstance(x, int) for x in w)):
+            raise _PdfErr("bad /W")
+        w0, w1, w2 = w[0], w[1], w[2]
+        roww = w0 + w1 + w2
+        if roww <= 0:
+            raise _PdfErr("zero-width xref rows")
+        size = obj.get("Size") if isinstance(obj.get("Size"), int) else 0
+        index = obj.get("Index")
+        if not isinstance(index, list) or len(index) % 2:
+            index = [0, size]
+        for k, v in obj.items():
+            if k not in ("W", "Index", "Filter", "DecodeParms", "Length",
+                         "Type", "Size"):
+                self.trailer.setdefault(k, v)
+        pos = 0
+        for s in range(0, len(index) - 1, 2):
+            start, count = index[s], index[s + 1]
+            if not (isinstance(start, int) and isinstance(count, int)):
+                continue
+            for k in range(count):
+                if pos + roww > len(data):
                     break
-                m = _XREF_SUB_RE.match(self.data, i)
-                if not m:
-                    raise _PdfErr("bad xref subsection")
-                start, count = int(m.group(1)), int(m.group(2))
-                i = m.end()
-                for k in range(count):
-                    e = _XREF_ENT_RE.match(self.data, i)
-                    if not e:
-                        raise _PdfErr("bad xref entry")
-                    if e.group(3) == b"n":
-                        # chain runs newest-first: keep the first
-                        # (newest) offset seen per object
-                        self.xref.setdefault(start + k, int(e.group(1)))
-                    i = e.end()
+                row = data[pos:pos + roww]
+                pos += roww
+                t = int.from_bytes(row[:w0], "big") if w0 else 1
+                f1 = int.from_bytes(row[w0:w0 + w1], "big")
+                f2 = int.from_bytes(row[w0 + w1:], "big")
+                objnum = start + k
+                if t == 1:
+                    self.xref.setdefault(objnum, f1)
+                elif t == 2:
+                    self.compressed.setdefault(objnum, (f1, f2))
+        prev = obj.get("Prev")
+        return prev if isinstance(prev, int) else -1
 
     def scan_offsets(self) -> dict[int, int]:
         if self._scan is None:
@@ -265,6 +338,61 @@ class _Doc:
             return m
         return None
 
+    def _objstm_member(self, stm_num: int, num: int, _depth: int = 0):
+        """Parse object ``num`` out of object stream ``stm_num``
+        (/Type /ObjStm: N header pairs of "objnum offset", bodies after
+        /First). Members are cached per stream; returns None on any
+        damage."""
+        if stm_num in self._objstm_cache:
+            return self._objstm_cache[stm_num].get(num)
+        self._objstm_cache[stm_num] = {}
+        sdict, raw = self.get(stm_num, _depth + 1)
+        if not isinstance(sdict, dict) or raw is None:
+            return None
+        data = _decode_stream(self, sdict, raw)
+        first = sdict.get("First")
+        count = sdict.get("N")
+        if not (isinstance(first, int) and isinstance(count, int)
+                and 0 <= first <= len(data)):
+            return None
+        pairs = re.findall(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)",
+                           data[:first])[:count]
+        members: dict[int, object] = {}
+        for onum_b, off_b in pairs:
+            onum, off = int(onum_b), int(off_b)
+            try:
+                obj, _i = _parse_obj(data, first + off)
+            except _PdfErr:
+                continue
+            members[onum] = obj
+        self._objstm_cache[stm_num] = members
+        return members.get(num)
+
+    def objstm_members(self) -> dict[int, tuple[int, int]]:
+        """Salvage map for files whose xref is gone: every member of
+        every /Type /ObjStm object reachable through the raw scan.
+        Built lazily once; the guard flag keeps the build's own get()
+        calls from re-entering."""
+        if self._objstm_map is not None or self._objstm_building:
+            return self._objstm_map or {}
+        self._objstm_building = True
+        try:
+            found: dict[int, tuple[int, int]] = {}
+            for stm_num in sorted(self.scan_offsets()):
+                obj, raw = self.get(stm_num)
+                if not isinstance(obj, dict) or raw is None \
+                        or obj.get("Type") != "/ObjStm":
+                    continue
+                self._objstm_member(stm_num, -1)  # populate the cache
+                for onum in self._objstm_cache.get(stm_num, {}):
+                    idx = found.get(onum)
+                    if idx is None:
+                        found[onum] = (stm_num, 0)
+            self._objstm_map = found
+        finally:
+            self._objstm_building = False
+        return self._objstm_map
+
     def get(self, num: int, _depth: int = 0):
         """(object, stream_bytes|None) for object ``num``; (None, None)
         when unrecoverable."""
@@ -276,6 +404,16 @@ class _Doc:
         if m is None:
             m = self._header_at(num, self.scan_offsets().get(num))
         if m is None:
+            # PDF 1.5 compressed object: via the xref-stream map, else
+            # (broken xref) via the scanned-ObjStm salvage map
+            loc = self.compressed.get(num)
+            if loc is None and not self._objstm_building:
+                loc = self.objstm_members().get(num)
+            if loc is not None and loc[0] != num:
+                obj = self._objstm_member(loc[0], num, _depth)
+                if obj is not None:
+                    self._cache[num] = (obj, None)
+                    return obj, None
             self._cache[num] = (None, None)
             return None, None
         d = self.data
@@ -321,6 +459,63 @@ class _Doc:
         return obj
 
 
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row filters (None/Sub/Up/Average/Paeth) for 8-bit
+    single-component rows — the predictor xref streams use."""
+    if columns <= 0:
+        return data
+    out = bytearray()
+    prev = bytearray(columns)
+    rowlen = columns + 1
+    for r in range(0, len(data) - rowlen + 1, rowlen):
+        ft = data[r]
+        row = bytearray(data[r + 1:r + 1 + columns])
+        if ft == 1:  # Sub
+            for x in range(1, columns):
+                row[x] = (row[x] + row[x - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(columns):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(columns):
+                left = row[x - 1] if x else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(columns):
+                a = row[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                row[x] = (row[x] + pr) & 0xFF
+        out.extend(row)
+        prev = row
+    return bytes(out)
+
+
+def _apply_predictor(doc: _Doc, parms, out: bytes) -> bytes:
+    parms = doc.resolve(parms)
+    if isinstance(parms, list):
+        parms = next((doc.resolve(p) for p in parms
+                      if isinstance(doc.resolve(p), dict)), None)
+    if not isinstance(parms, dict):
+        return out
+    pred = doc.resolve(parms.get("Predictor"))
+    cols = doc.resolve(parms.get("Columns"))
+    cols = cols if isinstance(cols, int) and cols > 0 else 1
+    if isinstance(pred, int) and pred >= 10:
+        return _png_unpredict(out, cols)
+    if pred == 2:  # TIFF horizontal differencing, 8-bit
+        row = bytearray(out)
+        for i in range(len(row)):
+            if i % cols:
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        return bytes(row)
+    return out
+
+
 def _decode_stream(doc: _Doc, sdict, raw: bytes) -> bytes:
     filters = doc.resolve(sdict.get("Filter")) if isinstance(sdict, dict) \
         else None
@@ -349,7 +544,7 @@ def _decode_stream(doc: _Doc, sdict, raw: bytes) -> bytes:
             out = bytes.fromhex(digits.decode("ascii"))
         else:
             return b""  # unsupported filter: no text from this stream
-    return out
+    return _apply_predictor(doc, sdict.get("DecodeParms"), out)
 
 
 def _walk_pages(doc: _Doc, node, visited: set[int], out: list[dict],
@@ -503,8 +698,13 @@ def extract_pdf_text(data: bytes) -> PdfText:
             _walk_pages(doc, pages_node, set(), page_dicts)
         if not page_dicts:
             # no usable trailer/catalog (truncated or rewritten file):
-            # recover every /Type /Page object in object-number order
-            for num in sorted(doc.scan_offsets()):
+            # recover every /Type /Page object in object-number order —
+            # direct objects first, then members of any object stream
+            # the raw scan can reach (PDF 1.5 files keep page dicts
+            # compressed inside /ObjStm, invisible to the scan itself)
+            nums = sorted(set(doc.scan_offsets())
+                          | set(doc.objstm_members()))
+            for num in nums:
                 obj, _raw = doc.get(num)
                 if isinstance(obj, dict) and obj.get("Type") == "/Page" \
                         and "Contents" in obj:
@@ -558,30 +758,32 @@ def _page_stream_bytes(lines: list[str], style: int) -> bytes:
 
 
 def build_pdf(pages: list[list[str]], compress: bool = True,
-              style: int = 0) -> bytes:
-    """Write a classic PDF 1.4 (catalog / page tree / per-page Flate
-    content streams / xref table / trailer). Deterministic in its
-    arguments; shares no code with the extractor."""
+              style: int = 0, layout: str = "classic",
+              predictor: bool = False) -> bytes:
+    """Write a deterministic PDF; shares no code with the extractor.
+
+    ``layout='classic'``: PDF 1.4 — direct objects, classic xref table,
+    trailer. ``layout='objstm'``: PDF 1.5 — catalog/page-tree/page
+    dicts compressed into a /Type /ObjStm object stream, cross-reference
+    written as a /Type /XRef stream with W [1 2 2] type-1/type-2 rows
+    (optionally behind the PNG Up predictor), no classic trailer — the
+    modern layout real crawl PDFs use. Content streams stay direct in
+    both layouts (streams cannot live inside an ObjStm)."""
     n_pages = max(len(pages), 1)
     pages = pages or [[""]]
     font_num = 2 + 2 * n_pages + 1
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    ver = b"1.5" if layout == "objstm" else b"1.4"
+    out = bytearray(b"%PDF-" + ver + b"\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
 
-    def emit(num: int, body: bytes) -> None:
+    def emit(num: int, body: bytes, stream: bytes | None = None) -> None:
         offsets[num] = len(out)
-        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+        out.extend(b"%d 0 obj\n" % num + body)
+        if stream is not None:
+            out.extend(b"\nstream\n" + stream + b"\nendstream")
+        out.extend(b"\nendobj\n")
 
-    kids = " ".join(f"{3 + 2 * k} 0 R" for k in range(n_pages))
-    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
-    emit(2, (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
-             ).encode())
-    for k, lines in enumerate(pages):
-        pnum, cnum = 3 + 2 * k, 4 + 2 * k
-        emit(pnum, (f"<< /Type /Page /Parent 2 0 R "
-                    f"/MediaBox [0 0 612 792] "
-                    f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
-                    f"/Contents {cnum} 0 R >>").encode())
+    def content_obj(cnum: int, lines: list[str]) -> None:
         content = _page_stream_bytes(lines, style)
         if compress:
             data = zlib.compress(content, 6)
@@ -589,14 +791,92 @@ def build_pdf(pages: list[list[str]], compress: bool = True,
         else:
             data = content
             head = b"<< /Length %d >>" % len(data)
-        emit(cnum, head + b"\nstream\n" + data + b"\nendstream")
-    emit(font_num, b"<< /Type /Font /Subtype /Type1 "
-                   b"/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+        emit(cnum, head, data)
+
+    kids = " ".join(f"{3 + 2 * k} 0 R" for k in range(n_pages))
+    cat = b"<< /Type /Catalog /Pages 2 0 R >>"
+    ptree = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+             ).encode()
+
+    def page_dict(k: int) -> bytes:
+        return (f"<< /Type /Page /Parent 2 0 R "
+                f"/MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+                f"/Contents {4 + 2 * k} 0 R >>").encode()
+
+    font = (b"<< /Type /Font /Subtype /Type1 "
+            b"/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+
+    if layout != "objstm":
+        emit(1, cat)
+        emit(2, ptree)
+        for k, lines in enumerate(pages):
+            emit(3 + 2 * k, page_dict(k))
+            content_obj(4 + 2 * k, lines)
+        emit(font_num, font)
+        xref_pos = len(out)
+        out.extend(b"xref\n0 %d\n" % (font_num + 1))
+        out.extend(b"0000000000 65535 f \n")
+        for num in range(1, font_num + 1):
+            out.extend(b"%010d 00000 n \n" % offsets[num])
+        out.extend(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
+                   b"%d\n%%%%EOF\n" % (font_num + 1, xref_pos))
+        return bytes(out)
+
+    # --- objstm layout: dict objects packed into one object stream ----
+    for k, lines in enumerate(pages):
+        content_obj(4 + 2 * k, lines)
+    emit(font_num, font)
+    members = [(1, cat), (2, ptree)] + \
+        [(3 + 2 * k, page_dict(k)) for k in range(n_pages)]
+    bodies = b" ".join(b for _n, b in members)
+    head_pairs = []
+    off = 0
+    for n, b in members:
+        head_pairs.append(f"{n} {off}".encode())
+        off += len(b) + 1
+    header = b" ".join(head_pairs) + b"\n"
+    stm_payload = header + bodies
+    stm_num = font_num + 1
+    xref_num = font_num + 2
+    zipped = zlib.compress(stm_payload, 6)
+    emit(stm_num, b"<< /Type /ObjStm /N %d /First %d /Length %d "
+                  b"/Filter /FlateDecode >>"
+         % (len(members), len(header), len(zipped)), zipped)
+    # xref stream rows, W = [1 4 2] (4-byte offsets: a 2-byte field
+    # would silently cap the file at 64 KiB), objects 0..xref_num.
+    # The xref stream's own offset is where it is ABOUT to be emitted.
     xref_pos = len(out)
-    out.extend(b"xref\n0 %d\n" % (font_num + 1))
-    out.extend(b"0000000000 65535 f \n")
-    for num in range(1, font_num + 1):
-        out.extend(b"%010d 00000 n \n" % offsets[num])
-    out.extend(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
-               b"%%%%EOF\n" % (font_num + 1, xref_pos))
+    offsets[xref_num] = xref_pos
+    member_idx = {n: i for i, (n, _b) in enumerate(members)}
+    rows = bytearray()
+    for num in range(0, xref_num + 1):
+        if num == 0:
+            rows.extend(b"\x00" + (0).to_bytes(4, "big")
+                        + (65535).to_bytes(2, "big"))
+        elif num in member_idx:
+            rows.extend(b"\x02" + stm_num.to_bytes(4, "big")
+                        + member_idx[num].to_bytes(2, "big"))
+        else:
+            rows.extend(b"\x01" + offsets[num].to_bytes(4, "big")
+                        + (0).to_bytes(2, "big"))
+    parms = b""
+    if predictor:
+        cols = 7
+        filtered = bytearray()
+        prev = bytes(cols)
+        for r in range(0, len(rows), cols):
+            row = bytes(rows[r:r + cols])
+            filtered.append(2)  # Up filter
+            filtered.extend((row[x] - prev[x]) & 0xFF
+                            for x in range(len(row)))
+            prev = row
+        rows = filtered
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+    zrows = zlib.compress(bytes(rows), 6)
+    emit(xref_num, b"<< /Type /XRef /Size %d /W [1 4 2] "
+                   b"/Index [0 %d] /Root 1 0 R /Length %d "
+                   b"/Filter /FlateDecode%s >>"
+         % (xref_num + 1, xref_num + 1, len(zrows), parms), zrows)
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_pos)
     return bytes(out)

@@ -177,7 +177,13 @@ def build_doc_pdf(doc_id: int, text: str) -> bytes:
     lines = [" ".join(words[i:i + 8]) for i in range(0, len(words), 8)] \
         or ["empty document"]
     pages = [lines[i:i + 12] for i in range(0, len(lines), 12)]
-    pdf = build_pdf(pages, compress=True, style=int(doc_id) % 3)
+    # doc_id % 2 rotates the file layout (classic 1.4 / object-stream
+    # 1.5 with an xref stream), % 4 == 3 additionally runs the xref
+    # rows through the PNG Up predictor — so the corpus exercises the
+    # modern structure layer, not just the 1.4 shape
+    pdf = build_pdf(pages, compress=True, style=int(doc_id) % 3,
+                    layout="objstm" if doc_id % 2 else "classic",
+                    predictor=doc_id % 4 == 3)
     if doc_id % 89 == 0:
         return pdf[:40]
     if doc_id % 53 == 0:

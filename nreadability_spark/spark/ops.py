@@ -3131,11 +3131,19 @@ GOPHER_QUALITY_SQL = f"""
 
 # --- registry -------------------------------------------------------------------
 
+# Ordering contract (VERDICT r4 item 1): the driver's correctness gate
+# checks the FIRST 50 entries of __spark_entry__.queries() — 11 kernel
+# queries then this dict in insertion order. Every LLM-pipeline-relevant
+# operator therefore sits in the leading block; the trailing OVERFLOW
+# block (width variants of in-window ops, trivial rollup demos, and the
+# two TPC-style join demos) is what falls outside the window when the
+# surface exceeds 50. All entries remain pytest-verified against their
+# oracles at every run (tests/test_ops.py iterates the whole dict).
 SQL_OPS = {
-    "pages_by_host": (pages_by_host, PAGES_BY_HOST_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "token_counts_bpe": (token_counts_bpe, TOKEN_COUNTS_BPE_SQL),
+    "bpe_merges": (bpe_merges, BPE_MERGES_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SCORE_SQL),
@@ -3154,7 +3162,6 @@ SQL_OPS = {
     "dedup_lines_within_doc": (dedup_lines_within_doc,
                                DEDUP_LINES_WITHIN_DOC_SQL),
     "lm_bigram_score": (lm_bigram_score, LM_BIGRAM_SCORE_SQL),
-    "bpe_merges": (bpe_merges, BPE_MERGES_SQL),
     "gopher_quality": (gopher_quality, GOPHER_QUALITY_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "stratified_sample_fixed": (stratified_sample_fixed,
@@ -3163,25 +3170,27 @@ SQL_OPS = {
     # pinned stream counts: the static oracle SQL must see the same knob
     "pack_sequences": (_partial(pack_sequences, n_streams=_PACK_STREAMS),
                        PACK_SEQUENCES_SQL),
-    "pack_sequences64": (pack_sequences64, PACK_SEQUENCES64_SQL),
     "training_mix": (training_mix, TRAINING_MIX_SQL),
     "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "host_pagerank": (host_pagerank, HOST_PAGERANK_SQL),
+    "vocab_top_terms": (vocab_top_terms, VOCAB_TOP_TERMS_SQL),
     "events_asof": (events_asof, EVENTS_ASOF_SQL),
     "events_range_counts": (events_range_counts, EVENTS_RANGE_COUNTS_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
-    "ann_ivf_topk64": (ann_ivf_topk64, ANN_IVF_TOPK64_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_BUCKETS_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+    # ---- overflow block: outside the driver's 50-query window ----
+    "pages_by_host": (pages_by_host, PAGES_BY_HOST_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
-    "sessionize": (sessionize, SESSIONIZE_SQL),
     "sessionize_spans": (sessionize_spans, SESSIONIZE_SPANS_SQL),
-    "vocab_top_terms": (vocab_top_terms, VOCAB_TOP_TERMS_SQL),
+    "pack_sequences64": (pack_sequences64, PACK_SEQUENCES64_SQL),
+    "ann_ivf_topk64": (ann_ivf_topk64, ANN_IVF_TOPK64_SQL),
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
     "top_spenders": (top_spenders, TOP_SPENDERS_SQL),
 }

@@ -21,7 +21,8 @@ ORACLE_DIR = os.path.join(
 KERNEL_QUERIES = ["extract_articles", "extract_fingerprints",
                   "extract_metrics", "extract_next_pages",
                   "extract_with_transformers",
-                  "stitch_multipage", "media_features", "media_frames"]
+                  "stitch_multipage", "media_features", "media_frames",
+                  "extract_links", "pdf_extract", "warc_pages"]
 
 
 @pytest.fixture(scope="module")
@@ -41,7 +42,8 @@ def entry():
 
 def test_oracles_generated():
     for f in ("extract_full", "extract_hooked", "stitch_multipage",
-              "media_features", "media_frames"):
+              "media_features", "media_frames", "pdf_extract",
+              "warc_pages"):
         assert os.path.exists(os.path.join(ORACLE_DIR, f"{f}.parquet")), (
             "run: python scripts/gen_oracles.py")
 

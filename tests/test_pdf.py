@@ -13,13 +13,55 @@ PAGES = [["hello world", "line two (with parens)", "back\\slash end"],
 WANT = ["\n".join(p) for p in PAGES]
 
 
+@pytest.mark.parametrize("layout,predictor", [("classic", False),
+                                              ("objstm", False),
+                                              ("objstm", True)])
 @pytest.mark.parametrize("style", [0, 1, 2])
 @pytest.mark.parametrize("compress", [True, False])
-def test_round_trip_all_styles(style, compress):
-    r = extract_pdf_text(build_pdf(PAGES, compress=compress, style=style))
+def test_round_trip_all_styles(style, compress, layout, predictor):
+    r = extract_pdf_text(build_pdf(PAGES, compress=compress, style=style,
+                                   layout=layout, predictor=predictor))
     assert r.ok and r.error is None
     assert r.pages == WANT
     assert r.text == "\f".join(WANT)
+
+
+def test_objstm_resolution_is_via_xref_stream_not_salvage():
+    """An intact 1.5 file must resolve its page dicts through the xref
+    stream's type-2 entries (the salvage scan stays unused)."""
+    from nreadability_spark.readability.pdf import _Doc
+    doc = _Doc(build_pdf(PAGES, layout="objstm"))
+    assert doc.compressed  # type-2 entries parsed
+    root = doc.resolve(doc.trailer.get("Root"))
+    assert isinstance(root, dict) and root.get("Type") == "/Catalog"
+    assert doc._objstm_map is None  # salvage never triggered
+
+
+def test_objstm_damage_classes_salvaged():
+    """1.5-layout damage: a lost startxref tail and a byte-shifting
+    /Length corruption must both recover the full text through the
+    ObjStm salvage scan."""
+    pdf = build_pdf(PAGES, layout="objstm")
+    trunc = extract_pdf_text(pdf[:pdf.rfind(b"xref")])
+    assert trunc.ok and trunc.pages == WANT
+    bad = extract_pdf_text(pdf.replace(b"/Length ", b"/Length 9", 1))
+    assert bad.ok and bad.pages == WANT
+
+
+def test_fuzz_mutated_objstm_pdf_never_raises():
+    from hypothesis import given, settings, strategies as st
+    base = build_pdf(PAGES, layout="objstm", predictor=True)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(min_value=0, max_value=len(base) - 1),
+           st.integers(min_value=0, max_value=255),
+           st.integers(min_value=0, max_value=len(base)))
+    def run(pos, val, cut):
+        data = bytearray(base)
+        data[pos] = val
+        r = extract_pdf_text(bytes(data[:cut]))
+        assert isinstance(r, PdfText)
+    run()
 
 
 def _minimal_pdf(content: bytes, length=None, compress=False) -> bytes:
@@ -164,14 +206,17 @@ def test_fuzz_mutated_real_pdf_never_raises():
 def test_build_doc_pdf_damage_classes():
     from nreadability_spark.spark.multimodal import build_doc_pdf
     text = "alpha beta gamma delta " * 40
-    # 89-divisible: header stub -> unrecoverable
+    # 89-divisible: header stub -> unrecoverable (89 odd -> objstm)
     r = extract_pdf_text(build_doc_pdf(89, text))
     assert not r.ok
-    # 53-divisible: truncated tail -> salvaged, same text as clean build
+    # truncated tail -> salvaged: 53 is odd (objstm layout), 106 is
+    # even (classic layout) — both damage x layout combinations recover
     clean = extract_pdf_text(build_doc_pdf(54, text))
-    trunc = extract_pdf_text(build_doc_pdf(53, text))
-    assert clean.ok and trunc.ok
-    assert trunc.text  # full text recovered
-    # 71-divisible: corrupt length -> salvaged
-    badlen = extract_pdf_text(build_doc_pdf(71, text))
-    assert badlen.ok and badlen.text
+    assert clean.ok
+    for did in (53, 106):
+        trunc = extract_pdf_text(build_doc_pdf(did, text))
+        assert trunc.ok and trunc.text, did
+    # corrupt length -> salvaged (71 objstm, 142 classic)
+    for did in (71, 142):
+        badlen = extract_pdf_text(build_doc_pdf(did, text))
+        assert badlen.ok and badlen.text, did
