@@ -2075,6 +2075,14 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
     one pair-key exchange for the count, a TakeOrdered top-1 (no global
     sort), the 1-row merge broadcast by crossJoin, and word-partitioned
     windows that reuse one exchange; lineage is cut every round."""
+    return _bpe_train(spark, sf_dir, rounds)[0]
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str,
+               rounds: int = _BPE_MERGE_ROUNDS
+               ) -> tuple[DataFrame, DataFrame]:
+    """(merge table, final symbol table) after ``rounds`` of training —
+    the symbol table is the trained vocabulary ``bpe_encode`` applies."""
     syms = _cut_lineage(_bpe_initial_syms(spark, sf_dir))
     w = Window.partitionBy("word").orderBy("pos")
     out: DataFrame | None = None
@@ -2104,7 +2112,70 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
                     F.row_number().over(w).alias("pos"),
                     F.when(F.col("merged"), F.concat("sym", "nxt"))
                     .otherwise(F.col("sym")).alias("sym")))
-    return out
+    return out, syms
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str,
+               rounds: int = _BPE_MERGE_ROUNDS) -> DataFrame:
+    """Tokenize the corpus with the vocabulary bpe_merges just trained —
+    the end-to-end train->apply cycle a real tokenizer build runs.
+    Encoding is a JOIN, not a re-fold: the trained symbol table already
+    holds every distinct word's final segmentation, so each document's
+    token stream is its pre-token sequence joined onto the vocabulary
+    (vocabulary-sized build side, corpus-sized probe side — the
+    canonical broadcast/shuffle join by dictionary shape). Output per
+    doc: token count and an order-exact digest of the token stream
+    (symbols joined on 0x1f inside a word, 0x1e between words — the
+    same construction both engines hash)."""
+    _merges, syms = _bpe_train(spark, sf_dir, rounds)
+    vocab = (syms.groupBy("word")
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.expr("concat_ws(chr(31), transform(array_sort("
+                         "collect_list(struct(pos, sym))), s -> s.sym))")
+                  .alias("toks")))
+    docs = _read(spark, sf_dir, "documents")
+    pretok = (docs
+              .select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.regexp_extract_all(
+                          F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                          F.lit(_BPE_PAT), F.lit(0)).alias("arr"))
+              .select("doc_id",
+                      F.posexplode("arr").alias("tpos", "word")))
+    return (pretok.join(vocab, "word")
+            .groupBy("doc_id")
+            .agg(F.sum("n").cast("long").alias("n_tokens"),
+                 F.md5(F.expr(
+                     "concat_ws(chr(30), transform(array_sort("
+                     "collect_list(struct(tpos, toks))), s -> s.toks))"))
+                 .alias("tokens_md5")))
+
+
+def _bpe_encode_sql(rounds: int = _BPE_MERGE_ROUNDS) -> str:
+    base = _bpe_merges_sql(rounds)
+    # reuse the full training CTE chain; swap the merge-table SELECT for
+    # the encode query over the final symbol table s{rounds}
+    chain = base[:base.rindex("\n    select cast(1 as bigint)")] \
+        if "\n    select cast(1 as bigint)" in base else base
+    chain = base.rsplit("\n    select", 1)[0]
+    return f"""{chain},
+    vocab as (
+      select word, count(*) as n,
+             string_agg(sym, chr(31) order by pos) as toks
+      from s{rounds} group by 1),
+    pretok as (
+      select doc_id, tpos, arr[tpos] as word from (
+        select doc_id, arr,
+               unnest(range(1, len(arr) + 1)) as tpos
+        from (select cast(doc_id as bigint) as doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '{_BPE_PAT}') as arr
+              from documents)))
+    select doc_id,
+           cast(sum(v.n) as bigint) as n_tokens,
+           md5(string_agg(v.toks, chr(30) order by p.tpos)) as tokens_md5
+    from pretok p join vocab v using (word)
+    group by doc_id
+    """
 
 
 def _bpe_merges_sql(rounds: int = _BPE_MERGE_ROUNDS) -> str:
@@ -2152,6 +2223,7 @@ def _bpe_merges_sql(rounds: int = _BPE_MERGE_ROUNDS) -> str:
 
 
 BPE_MERGES_SQL = _bpe_merges_sql()
+BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
 # --- PII detection / redaction ---------------------------------------------------
@@ -3144,6 +3216,7 @@ SQL_OPS = {
     "token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "token_counts_bpe": (token_counts_bpe, TOKEN_COUNTS_BPE_SQL),
     "bpe_merges": (bpe_merges, BPE_MERGES_SQL),
+    "bpe_encode": (bpe_encode, BPE_ENCODE_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SCORE_SQL),
@@ -3180,13 +3253,13 @@ SQL_OPS = {
     "events_asof": (events_asof, EVENTS_ASOF_SQL),
     "events_range_counts": (events_range_counts, EVENTS_RANGE_COUNTS_SQL),
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
-    "sessionize": (sessionize, SESSIONIZE_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_BUCKETS_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     # ---- overflow block: outside the driver's 50-query window ----
     "pages_by_host": (pages_by_host, PAGES_BY_HOST_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "sessionize_spans": (sessionize_spans, SESSIONIZE_SPANS_SQL),
     "pack_sequences64": (pack_sequences64, PACK_SEQUENCES64_SQL),
