@@ -46,6 +46,9 @@ def plan_hash(df) -> str:
     p = re.sub(r"\[codegen id : \d+\]", "", p)
     p = re.sub(r"file:[^\s\],]+", "file", p)
     p = re.sub(r"Statistics\([^)]*\)", "Statistics", p)
+    # checkpointed lineage cuts leak their RDD id into the scan node
+    # (MapPartitionsRDD[14] vs [35] across runs of the SAME plan)
+    p = re.sub(r"RDD\[\d+\]", "RDD[]", p)
     return hashlib.md5(p.encode()).hexdigest()[:12]
 
 
