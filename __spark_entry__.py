@@ -153,6 +153,15 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")).alias("feature_q"))
 
 
+def _robots_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness gate: every corpus url judged against its
+    host's deterministic robots.txt (RFC 9309 longest-match semantics,
+    wildcard+anchor rules, specific-agent groups, malformed files,
+    missing files -> allow) via the pure kernel in Arrow batches."""
+    from nreadability_spark.spark.sources import robots_check
+    return robots_check(spark, sf_dir)
+
+
 def _pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction (the north rule's 'PDF/layout parse' scope
     item): a deterministic real-PDF corpus — three show-operator styles,
@@ -209,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stitch_multipage": _stitch_multipage,
         "pdf_extract": _pdf_extract,
         "warc_pages": _warc_pages,
+        "robots_check": _robots_check,
         "media_features": _media_features,
         "media_frames": _media_frames,
     }
@@ -238,6 +248,7 @@ def _kernel_oracles() -> dict[str, str]:
     frames = os.path.join(d, "media_frames.parquet")
     warc = os.path.join(d, "warc_pages.parquet")
     pdfx = os.path.join(d, "pdf_extract.parquet")
+    robots = os.path.join(d, "robots_check.parquet")
     return {
         "extract_articles": f"""
             select url, extracted, title, next_page_url, content_text,
@@ -280,6 +291,9 @@ def _kernel_oracles() -> dict[str, str]:
         "pdf_extract": f"""
             select doc_id, ok, n_pages, text_md5, text_len
             from read_parquet('{pdfx}')""",
+        "robots_check": f"""
+            select doc_id, url, allowed, delay_ms
+            from read_parquet('{robots}')""",
     }
 
 

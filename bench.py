@@ -148,13 +148,20 @@ def run_bench(spark, sf_dir: str) -> dict:
     plan_hashes["pdf_extract"] = plan_hash(pdf_df)
 
     from nreadability_spark.spark.pages import synthesize_warc_dir
-    from nreadability_spark.spark.sources import read_pages_warc
+    from nreadability_spark.spark.sources import (read_pages_warc,
+                                                  robots_check)
     warc_dir = synthesize_warc_dir(sf_dir)  # cached across runs
     t0 = time.perf_counter()
     wdf = read_pages_warc(spark, warc_dir)
     wdf.agg(F.count("*"), F.sum(F.length("html"))).collect()
     timings["warc_pages"] = round(time.perf_counter() - t0, 3)
     plan_hashes["warc_pages"] = plan_hash(wdf)
+
+    t0 = time.perf_counter()
+    rdf = robots_check(spark, sf_dir)
+    rdf.agg(F.count("*")).collect()
+    timings["robots_check"] = round(time.perf_counter() - t0, 3)
+    plan_hashes["robots_check"] = plan_hash(rdf)
 
     # IVF index lifecycle: the whole-corpus build pass (Arrow-kernel cell
     # assignment -> cell-partitioned parquet) + the DPP-pruned search

@@ -35,7 +35,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def build_corpus(spark, pages, out_dir: str) -> dict:
+def build_corpus(spark, pages, out_dir: str, robots=None) -> dict:
     """Run the full funnel; returns the stage-count summary dict.
 
     Staged layout under ``out_dir``:
@@ -49,6 +49,14 @@ def build_corpus(spark, pages, out_dir: str) -> dict:
     from nreadability_spark.spark import ops
 
     summary: dict = {"pages": pages.count()}
+
+    # 0. crawl politeness: gate urls through per-host robots.txt BEFORE
+    # any extraction work is spent on them (REP default: hosts without
+    # a robots row pass)
+    if robots is not None:
+        from nreadability_spark.spark.sources import robots_filter
+        pages = robots_filter(pages, robots)
+        summary["robots_allowed"] = pages.count()
 
     # 1. extraction (the engine's hot path: pruned scan -> mapInArrow)
     extracted = run_extraction(spark, pages)
@@ -139,6 +147,10 @@ def main() -> None:
     ap.add_argument("--synthesize", action="store_true",
                     help="treat --input as a testdata sf dir and synthesize "
                          "the pages table from its documents")
+    ap.add_argument("--robots", default=None,
+                    help="robots table (Iceberg/parquet, host+robots_txt) "
+                         "to gate urls through; 'synthesize' uses the "
+                         "deterministic per-host corpus robots")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="reliable-checkpoint dir for the iterative dedup "
                          "ops (sets spark.nreadability.checkpointDir)")
@@ -162,7 +174,14 @@ def main() -> None:
             pages = read_pages_warc(spark, args.input)
         else:
             pages = read_pages(spark, args.input)
-        print(json.dumps(build_corpus(spark, pages, args.output)))
+        robots = None
+        if args.robots == "synthesize":
+            from nreadability_spark.spark.sources import synthesize_robots
+            robots = synthesize_robots(spark)
+        elif args.robots:
+            robots = read_pages(spark, args.robots)
+        print(json.dumps(build_corpus(spark, pages, args.output,
+                                      robots=robots)))
     finally:
         spark.stop()
 

@@ -3255,13 +3255,13 @@ SQL_OPS = {
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
-    "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_BUCKETS_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     # ---- overflow block: outside the driver's 50-query window ----
     "pages_by_host": (pages_by_host, PAGES_BY_HOST_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "sessionize_spans": (sessionize_spans, SESSIONIZE_SPANS_SQL),
+    "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_BUCKETS_SQL),
     "pack_sequences64": (pack_sequences64, PACK_SEQUENCES64_SQL),
     "ann_ivf_topk64": (ann_ivf_topk64, ANN_IVF_TOPK64_SQL),
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),

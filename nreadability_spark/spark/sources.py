@@ -223,3 +223,160 @@ def read_pages_warc(spark: SparkSession, path_glob: str) -> DataFrame:
         "html",
         F.lit("").alias("text"),
         F.lit("").alias("lang"))
+
+# --- robots.txt gating (crawl-politeness layer) ---------------------------------
+#
+# A 10^12-page crawl pipeline filters URLs through per-host robots.txt
+# BEFORE fetch/extraction. The kernel (readability/robots.py) implements
+# RFC 9309 matching; here the corpus joins its per-host robots table and
+# the gate runs in Arrow batches. At web scale the robots table has one
+# row per host (~1e8-1e9 rows) — far past broadcast — so the join is a
+# host-key shuffle join by design; at test scale (97 hosts) AQE will
+# broadcast it on its own.
+
+ROBOTS_AGENT = "nrsbot"
+
+
+def robots_txt_py(host: int) -> str | None:
+    """Deterministic per-host robots.txt: wildcard+anchor rules against
+    the /articles/<doc_id> url space, a specific-agent group on every
+    3rd host, malformed content on every 13th, and NO robots file at
+    all on every 17th (missing -> allow-all per the REP default)."""
+    if host % 17 == 0:
+        return None
+    if host % 13 == 0:
+        return "###garbage\x00[[\nDisallow: /orphan-no-group\n"
+    d = host % 10
+    txt = (f"User-agent: *\n"
+           f"Disallow: /articles/*{d}$\n"
+           f"Allow: /articles/*{d}{d}$\n"
+           f"Crawl-delay: {1 + host % 5}\n")
+    if host % 3 == 0:
+        e = (host // 3) % 10
+        txt += (f"\nUser-agent: {ROBOTS_AGENT}\n"
+                f"Disallow: /\n"
+                f"Allow: /articles/*{e}$\n")
+    return txt
+
+
+def synthesize_robots(spark: SparkSession, n_hosts: int = 97) -> DataFrame:
+    """(host, robots_txt) — one row per hostname that HAS a robots
+    file, keyed exactly like the corpus urls' hosts."""
+    rows = [(f"host{h}.example.org", robots_txt_py(h))
+            for h in range(n_hosts)]
+    return spark.createDataFrame(
+        [(h, t) for h, t in rows if t is not None],
+        "host string, robots_txt string")
+
+
+def robots_check(spark: SparkSession, sf_dir: str,
+                 agent: str = ROBOTS_AGENT) -> DataFrame:
+    """Per-document crawl-gate verdict: (doc_id, url, allowed, delay_ms)
+    for the corpus's template urls against their hosts' robots.txt.
+    Hosts without a file left-join to null and default to allowed."""
+    import os as _os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .job import ensure_package_shipped
+    ensure_package_shipped(spark)
+    docs = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    pages = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("host"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.concat(F.lit("https://host"),
+                 (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.org/articles/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    joined = pages.join(synthesize_robots(spark), "host", "left")
+
+    def gate(batches):
+        from nreadability_spark.readability.robots import (crawl_delay,
+                                                           is_allowed,
+                                                           parse_robots)
+        cache: dict = {}
+        for pdf in batches:
+            out = {"doc_id": [], "url": [], "allowed": [], "delay_ms": []}
+            for did, url, txt in zip(pdf["doc_id"], pdf["url"],
+                                     pdf["robots_txt"]):
+                path = "/articles/%d" % int(did)
+                if txt is None or (isinstance(txt, float)):
+                    allowed, delay = True, None
+                else:
+                    r = cache.get(txt)
+                    if r is None:
+                        r = cache[txt] = parse_robots(txt)
+                    allowed = is_allowed(r, agent, path)
+                    delay = crawl_delay(r, agent)
+                out["doc_id"].append(int(did))
+                out["url"].append(url)
+                out["allowed"].append(bool(allowed))
+                out["delay_ms"].append(
+                    int(delay * 1000) if delay is not None else None)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(
+        gate, "doc_id long, url string, allowed boolean, delay_ms long")
+
+
+_HOST_OF_URL = ("lower(regexp_extract(url, "
+                "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1))")
+
+
+def robots_filter(pages: DataFrame, robots: DataFrame,
+                  agent: str = ROBOTS_AGENT) -> DataFrame:
+    """Drop pages whose url their host's robots.txt disallows for
+    ``agent`` — the pre-fetch politeness stage of a crawl pipeline.
+
+    ``pages`` is any DataFrame with a ``url`` column; ``robots`` is
+    (host, robots_txt). The host key comes out of the url by regex
+    (JVM-side), the join shuffles on it (the robots table is one row
+    per host — broadcast at test scale via AQE, a plain shuffle join at
+    web scale), and the REP verdict runs in Arrow batches with the
+    parsed robots cached per distinct host text. Pages with no robots
+    row pass (the REP default); pages whose url has no parseable host
+    also pass (gating them is the fetcher's concern)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .job import ensure_package_shipped
+    ensure_package_shipped(pages.sparkSession)
+    cols = pages.columns
+    joined = (pages.withColumn("_host", F.expr(_HOST_OF_URL))
+              .join(robots.withColumnRenamed("host", "_host")
+                    .withColumnRenamed("robots_txt", "_robots_txt"),
+                    "_host", "left"))
+
+    schema_out = joined.drop("_host", "_robots_txt").schema
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in schema_out.fields)
+
+    def gate(batches):
+        from urllib.parse import urlsplit
+
+        from nreadability_spark.readability.robots import (is_allowed,
+                                                           parse_robots)
+        cache: dict = {}
+        for pdf in batches:
+            keep = []
+            for url, txt in zip(pdf["url"], pdf["_robots_txt"]):
+                if txt is None or isinstance(txt, float):
+                    keep.append(True)
+                    continue
+                r = cache.get(txt)
+                if r is None:
+                    r = cache[txt] = parse_robots(txt)
+                try:
+                    sp = urlsplit(url or "")
+                    path = (sp.path or "/") + \
+                        (("?" + sp.query) if sp.query else "")
+                except ValueError:
+                    path = "/"
+                keep.append(is_allowed(r, agent, path))
+            out = pdf[pd.Series(keep, index=pdf.index)]
+            yield out.drop(columns=["_host", "_robots_txt"])
+
+    return joined.mapInPandas(gate, fields).select(*cols)

@@ -262,6 +262,43 @@ def gen_pdf_extract(docs: list[tuple[int, str]]) -> pa.Table:
     })
 
 
+def gen_robots_check(docs: list[tuple[int, str]]) -> pa.Table:
+    """Crawl-gate oracle: the pure robots kernel over the same per-host
+    deterministic robots.txt the Spark op joins."""
+    from nreadability_spark.readability.robots import (crawl_delay,
+                                                       is_allowed,
+                                                       parse_robots)
+    from nreadability_spark.spark.sources import (ROBOTS_AGENT,
+                                                  robots_txt_py)
+    parsed = {}
+    cols: dict[str, list] = {k: [] for k in (
+        "doc_id", "url", "allowed", "delay_ms")}
+    for doc_id, _text in docs:
+        did = int(doc_id)
+        host = did % 97
+        txt = robots_txt_py(host)
+        if txt is None:
+            allowed, delay = True, None
+        else:
+            if host not in parsed:
+                parsed[host] = parse_robots(txt)
+            r = parsed[host]
+            allowed = is_allowed(r, ROBOTS_AGENT, f"/articles/{did}")
+            delay = crawl_delay(r, ROBOTS_AGENT)
+        cols["doc_id"].append(did)
+        cols["url"].append(
+            f"https://host{host}.example.org/articles/{did}")
+        cols["allowed"].append(bool(allowed))
+        cols["delay_ms"].append(
+            int(delay * 1000) if delay is not None else None)
+    return pa.table({
+        "doc_id": pa.array(cols["doc_id"], pa.int64()),
+        "url": pa.array(cols["url"], pa.string()),
+        "allowed": pa.array(cols["allowed"], pa.bool_()),
+        "delay_ms": pa.array(cols["delay_ms"], pa.int64()),
+    })
+
+
 def gen_warc_pages(sf_dir: str) -> pa.Table:
     """Raw-ingest oracle: the pure streaming WARC parser run locally over
     the SAME deterministic per-record-gzip segments read_pages_warc scans
@@ -311,7 +348,8 @@ def generate(sf_dir: str) -> dict[str, str]:
             ("media_features", gen_media_features(docs)),
             ("media_frames", gen_media_frames(docs)),
             ("warc_pages", gen_warc_pages(sf_dir)),
-            ("pdf_extract", gen_pdf_extract(docs))):
+            ("pdf_extract", gen_pdf_extract(docs)),
+            ("robots_check", gen_robots_check(docs))):
         path = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(table, path)
         written[name] = path

@@ -79,3 +79,41 @@ def test_packing_invariants(summary_and_dir, spark):
                        F.max("bin").alias("maxbin")).collect())
     for r in per_stream:
         assert r["maxbin"] * _PACK_BUDGET <= r["total"] - 1
+
+
+def test_robots_filter_gates_pages(spark):
+    """robots_filter must drop exactly the urls the kernel disallows,
+    pass hosts with no robots row, and preserve the pages schema."""
+    from pyspark.sql import functions as F
+    from nreadability_spark.readability.robots import (is_allowed,
+                                                       parse_robots)
+    from nreadability_spark.spark.pages import synthesize_pages
+    from nreadability_spark.spark.sources import (ROBOTS_AGENT,
+                                                  robots_filter,
+                                                  robots_txt_py,
+                                                  synthesize_robots)
+    pages = synthesize_pages(spark, SF_DIR, include_fixtures=False)
+    robots = synthesize_robots(spark)
+    kept = robots_filter(pages, robots)
+    assert kept.columns == pages.columns
+    kept_urls = {r["url"] for r in kept.select("url").collect()}
+    all_urls = [r["url"] for r in pages.select("url").collect()]
+    assert 0 < len(kept_urls) < len(all_urls)
+    parsed = {}
+    for url in all_urls:
+        host = int(url.split("host")[1].split(".")[0])
+        txt = robots_txt_py(host)
+        if txt is None:
+            want = True
+        else:
+            if host not in parsed:
+                parsed[host] = parse_robots(txt)
+            path = "/" + url.split(".org/", 1)[1]
+            want = is_allowed(parsed[host], ROBOTS_AGENT, path)
+        assert (url in kept_urls) == want, url
+    # fixture hosts (fixtures.local / theverge.com) have no robots row:
+    # REP default keeps them
+    fx = synthesize_pages(spark, SF_DIR, include_fixtures=True)
+    kept_fx = robots_filter(fx, robots)
+    n_fx = (kept_fx.where(~F.col("url").rlike("example[.]org")).count())
+    assert n_fx == fx.where(~F.col("url").rlike("example[.]org")).count()

@@ -22,7 +22,8 @@ KERNEL_QUERIES = ["extract_articles", "extract_fingerprints",
                   "extract_metrics", "extract_next_pages",
                   "extract_with_transformers",
                   "stitch_multipage", "media_features", "media_frames",
-                  "extract_links", "pdf_extract", "warc_pages"]
+                  "extract_links", "pdf_extract", "warc_pages",
+                  "robots_check"]
 
 
 @pytest.fixture(scope="module")
