@@ -25,6 +25,46 @@ def read_pages_stream(spark: SparkSession, source_dir: str,
             .parquet(source_dir))
 
 
+def read_pages_warc_stream(spark: SparkSession, source_dir: str,
+                           max_files_per_trigger: int = 8) -> DataFrame:
+    """Streaming raw-crawl ingest: watch a directory for new WARC
+    segment files (the shape of a live crawler dropping segments) and
+    emit pages rows as they land. Same bounded-memory member-at-a-time
+    parser as the batch reader (sources.read_pages_warc); the file is
+    the streaming unit, so exactly-once comes free from the file
+    source's checkpointed log. Chains into extract_stream /
+    dedup_stream unchanged — the WARC frontier needs no staging ETL
+    even in continuous ingest."""
+    from .sources import _parse_warc_records
+    raw = (spark.readStream.format("binaryFile")
+           .schema("path string, modificationTime timestamp, "
+                   "length long, content binary")
+           .option("maxFilesPerTrigger", str(max_files_per_trigger))
+           .option("pathGlobFilter", "*.warc*")
+           .load(source_dir)
+           .select("content"))
+
+    def explode_warcs(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = {"url": [], "warc_date": [], "html": []}
+            for blob in pdf["content"]:
+                for uri, date, html in _parse_warc_records(bytes(blob)):
+                    rows["url"].append(uri)
+                    rows["warc_date"].append(date)
+                    rows["html"].append(html)
+            yield pd.DataFrame(rows)
+
+    pages = raw.mapInPandas(explode_warcs,
+                            "url string, warc_date string, html binary")
+    return pages.select(
+        "url",
+        F.expr("try_cast(warc_date as timestamp)").alias("warc_ts"),
+        "html",
+        F.lit("").alias("text"),
+        F.lit("").alias("lang"))
+
+
 def extract_stream(pages_stream: DataFrame) -> DataFrame:
     """Streaming extraction: same kernel, same output schema, same serde
     as the batch path (mapInArrow — mapInPandas only as fallback); no
