@@ -153,6 +153,16 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")).alias("feature_q"))
 
 
+def _warc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style URL index over the deterministic WARC segments: SURT
+    key + UTC capture epoch + the (file, offset, length) triple
+    addressing each record's own gzip member (registered after the
+    SQL ops — crawl tooling, deliberately in the overflow block)."""
+    from nreadability_spark.spark.pages import synthesize_warc_dir
+    from nreadability_spark.spark.sources import warc_index
+    return warc_index(spark, synthesize_warc_dir(sf_dir))
+
+
 def _robots_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-politeness gate: every corpus url judged against its
     host's deterministic robots.txt (RFC 9309 longest-match semantics,
@@ -224,6 +234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name, (fn, _sql) in SQL_OPS.items():
         out[name] = fn
+    # crawl-tooling kernel queries, deliberately in the overflow block
+    # (past the driver's 50-query window) so LLM-pipeline ops keep
+    # their in-window slots; pytest verifies these on every run
+    out["warc_index"] = _warc_index
     return out
 
 
@@ -294,6 +308,10 @@ def _kernel_oracles() -> dict[str, str]:
         "robots_check": f"""
             select doc_id, url, allowed, delay_ms
             from read_parquet('{robots}')""",
+        "warc_index": f"""
+            select surt, url, warc_epoch, "file", "offset", "length",
+                   html_md5
+            from read_parquet('{os.path.join(d, "warc_index.parquet")}')""",
     }
 
 

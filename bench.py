@@ -129,7 +129,7 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "lang_mix_weights", "pack_sequences", "pack_sequences64",
                  "dedup_lines", "dedup_lines_within_doc", "lm_bigram_score",
                  "host_pagerank", "gopher_quality", "bpe_merges",
-                 "bpe_encode", "dedup_minhash_incremental"):
+                 "bpe_encode", "dedup_minhash_incremental", "corpus_diff"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -156,6 +156,13 @@ def run_bench(spark, sf_dir: str) -> dict:
     wdf.agg(F.count("*"), F.sum(F.length("html"))).collect()
     timings["warc_pages"] = round(time.perf_counter() - t0, 3)
     plan_hashes["warc_pages"] = plan_hash(wdf)
+
+    from nreadability_spark.spark.sources import warc_index
+    t0 = time.perf_counter()
+    idx_df = warc_index(spark, warc_dir)
+    idx_df.agg(F.count("*")).collect()
+    timings["warc_index"] = round(time.perf_counter() - t0, 3)
+    plan_hashes["warc_index"] = plan_hash(idx_df)
 
     t0 = time.perf_counter()
     rdf = robots_check(spark, sf_dir)

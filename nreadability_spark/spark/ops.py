@@ -2012,6 +2012,62 @@ LM_BIGRAM_SCORE_SQL = f"""
 """
 
 
+# --- corpus snapshot diffing ------------------------------------------------------
+
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-versioning diff between two corpus snapshots: per doc_id,
+    'added' / 'removed' / 'changed' / 'unchanged' by content hash — the
+    audit every periodic recrawl/reprocess pipeline runs before
+    promoting a snapshot (how much churned? did the extractor change
+    outputs it shouldn't have?).
+
+    The "new" snapshot is derived deterministically from the corpus
+    (doc_id % 11 removed, % 7 revised, % 13 duplicated into new ids) so
+    both engines see the same two versions. Scale shape: one full-outer
+    shuffle join on the snapshot key comparing md5 fingerprints —
+    map-side hash projection, a single exchange per side, no content
+    moves (fingerprints compare, not text)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.selectExpr("cast(doc_id as bigint) as doc_id",
+                          "md5(text) as h_old")
+    new = docs.where("doc_id % 11 != 0").selectExpr(
+        "cast(doc_id as bigint) as doc_id",
+        "md5(case when doc_id % 7 = 0 then concat(text, ' rev2') "
+        "else text end) as h_new")
+    added = docs.where("doc_id % 13 = 0").selectExpr(
+        "cast(doc_id + 3000000 as bigint) as doc_id",
+        "md5(text) as h_new")
+    j = old.join(new.unionByName(added), "doc_id", "full_outer")
+    return j.selectExpr(
+        "doc_id",
+        "case when h_old is null then 'added' "
+        "when h_new is null then 'removed' "
+        "when h_old = h_new then 'unchanged' "
+        "else 'changed' end as status")
+
+
+CORPUS_DIFF_SQL = """
+    with old as (
+      select cast(doc_id as bigint) as doc_id, md5(text) as h_old
+      from documents),
+    new as (
+      select cast(doc_id as bigint) as doc_id,
+             md5(case when doc_id % 7 = 0 then text || ' rev2'
+                 else text end) as h_new
+      from documents where doc_id % 11 != 0
+      union all
+      select cast(doc_id + 3000000 as bigint) as doc_id,
+             md5(text) as h_new
+      from documents where doc_id % 13 = 0)
+    select coalesce(old.doc_id, new.doc_id) as doc_id,
+           case when h_old is null then 'added'
+                when h_new is null then 'removed'
+                when h_old = h_new then 'unchanged'
+                else 'changed' end as status
+    from old full outer join new on old.doc_id = new.doc_id
+"""
+
+
 # --- BPE vocabulary training ------------------------------------------------------
 
 _BPE_MERGE_ROUNDS = 6
@@ -3250,14 +3306,15 @@ SQL_OPS = {
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
     "host_pagerank": (host_pagerank, HOST_PAGERANK_SQL),
     "vocab_top_terms": (vocab_top_terms, VOCAB_TOP_TERMS_SQL),
+    "corpus_diff": (corpus_diff, CORPUS_DIFF_SQL),
     "events_asof": (events_asof, EVENTS_ASOF_SQL),
     "events_range_counts": (events_range_counts, EVENTS_RANGE_COUNTS_SQL),
-    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "ann_topk": (ann_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     # ---- overflow block: outside the driver's 50-query window ----
     "pages_by_host": (pages_by_host, PAGES_BY_HOST_SQL),
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "sessionize_spans": (sessionize_spans, SESSIONIZE_SPANS_SQL),

@@ -188,6 +188,36 @@ def _parse_warc_records(data: bytes):
     yield from _parse_warc_stream(_iter_warc_chunks(data))
 
 
+def _iter_warc_records_indexed(data: bytes):
+    """Yield (offset, length, uri, date, html) per response record,
+    where offset/length locate the record's COMPRESSED gzip member —
+    the CDX index contract for per-record-gzip archives: the slice
+    ``data[offset:offset+length]`` alone decodes back to the record,
+    which is what lets a wayback/range-request reader fetch one page
+    out of a 1 GB segment. Whole-file-gzip and raw layouts fall back
+    to offset 0 / whole-file length (no sub-file addressing exists
+    there). Unlike the streaming parser this decodes one member at a
+    time into memory — production CC members hold ONE record, so the
+    envelope is O(largest record)."""
+    if data[:2] != b"\x1f\x8b":
+        for uri, date, html in _parse_warc_stream(iter([data])):
+            yield 0, len(data), uri, date, html
+        return
+    pos, n = 0, len(data)
+    while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
+        d = _zlib.decompressobj(31)
+        try:
+            out = d.decompress(data[pos:])
+        except _zlib.error:
+            return
+        end = (n - len(d.unused_data)) if d.eof else n
+        for uri, date, html in _parse_warc_stream(iter([out])):
+            yield pos, end - pos, uri, date, html
+        if not d.eof:
+            return
+        pos = end
+
+
 def read_pages_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """Read WARC files into the pages schema (url, warc_ts, html, text,
     lang). One Arrow batch pass per file row; the scan parallelizes
@@ -380,3 +410,57 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
             yield out.drop(columns=["_host", "_robots_txt"])
 
     return joined.mapInPandas(gate, fields).select(*cols)
+
+
+def _warc_epoch(date: str):
+    """WARC-Date -> UTC epoch seconds (int) or None — the same parse on
+    the Spark and oracle sides of the index."""
+    import datetime as _dt
+    try:
+        return int(_dt.datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
+                   .replace(tzinfo=_dt.timezone.utc).timestamp())
+    except ValueError:
+        return None
+
+
+def warc_index(spark: SparkSession, warc_dir: str) -> DataFrame:
+    """CDX-style URL index over WARC segments: one row per response
+    record with its SURT key, UTC capture epoch, and the (file, offset,
+    length) triple addressing the record's own gzip member — the
+    web-archive lookup contract (pywb/OpenWayback/CC index): sort by
+    (surt, warc_epoch) and a domain's whole history is a range scan,
+    each hit fetchable with one ranged read. File-grain parallel like
+    every WARC pass here."""
+    import hashlib as _hashlib
+    import os as _os
+
+    import pandas as pd
+
+    from .job import ensure_package_shipped
+    ensure_package_shipped(spark)
+    raw = (spark.read.format("binaryFile").load(warc_dir)
+           .select("path", "content"))
+
+    def index_rows(batches):
+        from nreadability_spark.readability.surt import surt_key
+        for pdf in batches:
+            out = {k: [] for k in ("surt", "url", "warc_epoch", "file",
+                                   "offset", "length", "html_md5")}
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                fname = _os.path.basename(path)
+                for off, length, uri, date, html in \
+                        _iter_warc_records_indexed(bytes(blob)):
+                    out["surt"].append(surt_key(uri))
+                    out["url"].append(uri)
+                    out["warc_epoch"].append(_warc_epoch(date))
+                    out["file"].append(fname)
+                    out["offset"].append(off)
+                    out["length"].append(length)
+                    out["html_md5"].append(
+                        _hashlib.md5(html).hexdigest())
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(
+        index_rows, "surt string, url string, warc_epoch long, "
+                    "file string, offset long, length long, "
+                    "html_md5 string")

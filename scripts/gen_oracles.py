@@ -299,6 +299,42 @@ def gen_robots_check(docs: list[tuple[int, str]]) -> pa.Table:
     })
 
 
+def gen_warc_index(sf_dir: str) -> pa.Table:
+    """CDX-index oracle: SURT + member addressing via the pure kernel
+    over the same synthesized segments."""
+    import glob as _glob
+
+    from nreadability_spark.readability.surt import surt_key
+    from nreadability_spark.spark.pages import synthesize_warc_dir
+    from nreadability_spark.spark.sources import (_iter_warc_records_indexed,
+                                                  _warc_epoch)
+    warc_dir = synthesize_warc_dir(sf_dir)
+    cols: dict[str, list] = {k: [] for k in (
+        "surt", "url", "warc_epoch", "file", "offset", "length",
+        "html_md5")}
+    for path in sorted(_glob.glob(os.path.join(warc_dir, "*.warc.gz"))):
+        with open(path, "rb") as f:
+            data = f.read()
+        for off, length, uri, date, html in \
+                _iter_warc_records_indexed(data):
+            cols["surt"].append(surt_key(uri))
+            cols["url"].append(uri)
+            cols["warc_epoch"].append(_warc_epoch(date))
+            cols["file"].append(os.path.basename(path))
+            cols["offset"].append(off)
+            cols["length"].append(length)
+            cols["html_md5"].append(hashlib.md5(html).hexdigest())
+    return pa.table({
+        "surt": pa.array(cols["surt"], pa.string()),
+        "url": pa.array(cols["url"], pa.string()),
+        "warc_epoch": pa.array(cols["warc_epoch"], pa.int64()),
+        "file": pa.array(cols["file"], pa.string()),
+        "offset": pa.array(cols["offset"], pa.int64()),
+        "length": pa.array(cols["length"], pa.int64()),
+        "html_md5": pa.array(cols["html_md5"], pa.string()),
+    })
+
+
 def gen_warc_pages(sf_dir: str) -> pa.Table:
     """Raw-ingest oracle: the pure streaming WARC parser run locally over
     the SAME deterministic per-record-gzip segments read_pages_warc scans
@@ -349,7 +385,8 @@ def generate(sf_dir: str) -> dict[str, str]:
             ("media_frames", gen_media_frames(docs)),
             ("warc_pages", gen_warc_pages(sf_dir)),
             ("pdf_extract", gen_pdf_extract(docs)),
-            ("robots_check", gen_robots_check(docs))):
+            ("robots_check", gen_robots_check(docs)),
+            ("warc_index", gen_warc_index(sf_dir))):
         path = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(table, path)
         written[name] = path

@@ -23,7 +23,7 @@ KERNEL_QUERIES = ["extract_articles", "extract_fingerprints",
                   "extract_with_transformers",
                   "stitch_multipage", "media_features", "media_frames",
                   "extract_links", "pdf_extract", "warc_pages",
-                  "robots_check"]
+                  "robots_check", "warc_index"]
 
 
 @pytest.fixture(scope="module")
