@@ -170,6 +170,30 @@ def run_bench(spark, sf_dir: str) -> dict:
     timings["robots_check"] = round(time.perf_counter() - t0, 3)
     plan_hashes["robots_check"] = plan_hash(rdf)
 
+    # incremental-dedup lifecycle split: the per-batch cost that matters
+    # in production is the QUERY against the prebuilt index, not the
+    # one-off corpus index build the combined op re-runs for idempotence
+    from pyspark.sql import functions as _F
+    from nreadability_spark.spark.ops import (_cut_lineage,
+                                              _incremental_pairs,
+                                              _minhash_bands,
+                                              minhash_index_build,
+                                              minhash_signatures)
+    t0 = time.perf_counter()
+    minhash_index_build(spark, sf_dir, table="bench_minhash_idx")
+    timings["minhash_index_build"] = round(time.perf_counter() - t0, 3)
+    batch = _cut_lineage(
+        _minhash_bands(minhash_signatures(spark, sf_dir))
+        .where(_F.col("doc_id") % 10 == 0))
+    t0 = time.perf_counter()
+    inc_df = _incremental_pairs(spark, batch, table="bench_minhash_idx")
+    inc_df.agg(F.count("*")).collect()
+    timings["dedup_minhash_incremental_query"] = round(
+        time.perf_counter() - t0, 3)
+    plan_hashes["dedup_minhash_incremental_query"] = plan_hash(inc_df)
+    spark.sql("drop table if exists bench_minhash_idx")
+    spark.sql("drop table if exists bench_minhash_idx_counts")
+
     # IVF index lifecycle: the whole-corpus build pass (Arrow-kernel cell
     # assignment -> cell-partitioned parquet) + the DPP-pruned search
     from nreadability_spark.spark.ops import ann_ivf_build, ann_ivf_search

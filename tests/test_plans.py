@@ -544,3 +544,18 @@ def test_minhash_incremental_index_side_has_no_exchange(spark):
             if "Join" in up or "HashAggregate" in up:
                 break
             depth = udepth
+
+
+def test_corpus_diff_is_single_fullouter_join(spark):
+    """Snapshot diff must be ONE full-outer join on the key with hashed
+    fingerprints computed map-side — no content column survives past
+    the scan projections and nothing joins twice."""
+    from nreadability_spark.spark.ops import corpus_diff
+    plan = plan_of(corpus_diff(spark, SF_DIR))
+    assert node_count(plan, "SortMergeJoin") == 1
+    assert "FullOuter" in plan
+    assert node_count(plan, "Exchange") <= 3  # two sides + AQE final
+    # fingerprints, not text, cross the exchanges
+    import re
+    exch = re.findall(r"\(\d+\) Exchange[\s\S]*?Arguments: [^\n]*", plan)
+    assert exch and all("text" not in e for e in exch)
