@@ -406,7 +406,9 @@ def robots_filter(pages: DataFrame, robots: DataFrame,
                 except ValueError:
                     path = "/"
                 keep.append(is_allowed(r, agent, path))
-            out = pdf[pd.Series(keep, index=pdf.index)]
+            # dtype MUST be bool: an empty keep-list otherwise infers
+            # object and pandas reads the indexer as column labels
+            out = pdf[pd.Series(keep, index=pdf.index, dtype=bool)]
             yield out.drop(columns=["_host", "_robots_txt"])
 
     return joined.mapInPandas(gate, fields).select(*cols)

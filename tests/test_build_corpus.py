@@ -117,3 +117,24 @@ def test_robots_filter_gates_pages(spark):
     kept_fx = robots_filter(fx, robots)
     n_fx = (kept_fx.where(~F.col("url").rlike("example[.]org")).count())
     assert n_fx == fx.where(~F.col("url").rlike("example[.]org")).count()
+
+
+def test_robots_filter_survives_empty_and_tiny_partitions(spark):
+    """Empty Arrow batches (empty partitions / fully-filtered batches)
+    must not break the gate's row mask (regression: an empty boolean
+    keep-list inferred dtype object and pandas read it as column
+    labels)."""
+    from nreadability_spark.spark.sources import (robots_filter,
+                                                  synthesize_robots)
+    tiny = spark.createDataFrame(
+        [("https://host3.example.org/articles/3",),
+         ("https://host17.example.org/articles/17",)],
+        "url string").repartition(16)
+    robots = synthesize_robots(spark)
+    out = robots_filter(tiny, robots)
+    urls = {r["url"] for r in out.collect()}
+    # host17 has no robots file -> allowed; host3's nrsbot group only
+    # allows ids ending in (3//3)%10 = 1 -> /articles/3 is dropped
+    assert urls == {"https://host17.example.org/articles/17"}
+    empty = spark.createDataFrame([], "url string")
+    assert robots_filter(empty, robots).count() == 0
