@@ -466,3 +466,19 @@ def warc_index(spark: SparkSession, warc_dir: str) -> DataFrame:
         index_rows, "surt string, url string, warc_epoch long, "
                     "file string, offset long, length long, "
                     "html_md5 string")
+
+
+def warc_index_write(spark: SparkSession, warc_dir: str, out_dir: str,
+                     n_shards: int = None) -> None:
+    """Materialize the CDX index in its serving layout: globally
+    range-partitioned and sorted by (surt, warc_epoch), so a domain
+    lookup binary-searches one shard and scans a contiguous run — the
+    layout pywb/CC's index server assumes. One RangePartitioning
+    exchange (sampled split points) + in-partition sort; shard count
+    defaults to the cluster's parallelism."""
+    df = warc_index(spark, warc_dir)
+    if n_shards is None:
+        n_shards = spark.sparkContext.defaultParallelism
+    (df.repartitionByRange(n_shards, "surt", "warc_epoch")
+     .sortWithinPartitions("surt", "warc_epoch")
+     .write.mode("overwrite").parquet(out_dir))

@@ -91,3 +91,87 @@ def test_warc_indexed_records_locate_members():
     raw = _record(b"response", b"https://r.example/", b"y")
     rows3 = list(_iter_warc_records_indexed(raw))
     assert rows3[0][0] == 0 and rows3[0][1] == len(raw)
+
+
+def test_warc_index_write_serving_layout(tmp_path_factory):
+    """The materialized index must be globally ordered by
+    (surt, warc_epoch) across range-partitioned shards — the binary-
+    search serving layout — via ONE RangePartitioning exchange."""
+    import os
+
+    import pytest
+    pytest.importorskip("pyspark")
+    from nreadability_spark.spark.pages import synthesize_warc_dir
+    from nreadability_spark.spark.session import get_spark
+    from nreadability_spark.spark.sources import (warc_index,
+                                                  warc_index_write)
+    spark = get_spark("surt-tests", master="local[4]",
+                      shuffle_partitions=8)
+    try:
+        warc_dir = synthesize_warc_dir("/root/testdata/sf0.001")
+        out = str(tmp_path_factory.mktemp("cdx_out"))
+        warc_index_write(spark, warc_dir, out, n_shards=4)
+        import glob
+        shards = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+        assert 1 < len(shards) <= 4
+        # global order: within each shard sorted; shard ranges disjoint
+        # and increasing in file order is NOT guaranteed by filename, so
+        # assert via min/max ranges being non-overlapping overall
+        import pyarrow.parquet as pq
+        ranges = []
+        total = 0
+        for s in shards:
+            t = pq.read_table(s, columns=["surt", "warc_epoch"])
+            keys = list(zip(t["surt"].to_pylist(),
+                            t["warc_epoch"].to_pylist()))
+            norm = [(k, -1 if e is None else e) for k, e in keys]
+            assert norm == sorted(norm), s  # sorted within shard
+            if norm:
+                ranges.append((norm[0], norm[-1]))
+            total += len(keys)
+        ranges.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2  # disjoint shard ranges = global order
+        assert total == warc_index(spark, warc_dir).count()
+        # plan shape: rangepartitioning exchange feeds the sort
+        plan = (warc_index(spark, warc_dir)
+                .repartitionByRange(4, "surt", "warc_epoch")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "rangepartitioning" in plan.lower()
+    finally:
+        spark.stop()
+
+
+def test_compact_job_rewrites_small_files(tmp_path_factory):
+    """jobs/compact.py: a many-tiny-files dataset compacts to the
+    target count with byte-exact content (row count + additive content
+    hash verified by the job itself)."""
+    import os
+    import sys
+
+    import pytest
+    pytest.importorskip("pyspark")
+    sys.path.insert(0, "/root/repo/jobs")
+    from compact import compact, dataset_stats
+    from nreadability_spark.spark.session import get_spark
+    spark = get_spark("compact-tests", master="local[4]",
+                      shuffle_partitions=8)
+    try:
+        src = str(tmp_path_factory.mktemp("frag")) + "/data.parquet"
+        (spark.range(0, 20000)
+         .selectExpr("id", "md5(cast(id as string)) as payload")
+         .repartition(64).write.parquet(src))
+        assert dataset_stats(spark, src)["files"] == 64
+        dst = str(tmp_path_factory.mktemp("compacted")) + "/data.parquet"
+        report = compact(spark, src, dst, target_mb=1)
+        assert report["content_match"] is True
+        assert report["rows"] == 20000
+        assert report["after"]["files"] < 64
+        assert report["after"]["files"] == report["target_files"]
+        # clustered variant: range-partitioned by key, content intact
+        dst2 = str(tmp_path_factory.mktemp("clustered")) + "/data.parquet"
+        report2 = compact(spark, src, dst2, target_mb=1,
+                          cluster_by="id")
+        assert report2["content_match"] is True
+    finally:
+        spark.stop()
