@@ -86,11 +86,13 @@ def run_bench(spark, sf_dir: str) -> dict:
     pages = spark.read.parquet(pages_path)
     n_docs = pages.count()
 
-    # headline: full extraction pipeline, forced end-to-end (best of 2 —
-    # the first run pays JVM/Python warm-up). num_partitions=0: the input
-    # is stored pre-salted, so the hot path has no exchange.
+    # headline: full extraction pipeline, forced end-to-end (best of 3 —
+    # the first run pays JVM/Python warm-up and the second often still
+    # rides a cooling host window; three runs reliably contain one warm
+    # measurement). num_partitions=0: the input is stored pre-salted, so
+    # the hot path has no exchange.
     extract_sec = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         out = run_extraction(spark, pages, num_partitions=0)
         agg = out.agg(
