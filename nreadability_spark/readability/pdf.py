@@ -11,13 +11,18 @@ validated-offset object-scan fallback (plus ObjStm member salvage) for
 truncated or byte-shifted files. Stream layer: Flate/ASCIIHex decode.
 Text layer: page-tree traversal with cycle guard and a BT/ET text-run
 tokenizer covering Tj / TJ / ' / " with literal (escapes, octal,
-nested parens) and hex strings. Layout is reduced to a deterministic
-line model: Td/TD with a vertical move, T*, Tm, ' and ET start a new
-line; everything shown in between concatenates.
+nested parens) and hex strings; composite (CID) fonts decode through
+their /ToUnicode CMap (bfchar + bfrange, both destination forms; Tf
+switches the active map, /Resources inherited through the page tree;
+unmapped codes surface as U+FFFD instead of disappearing). Layout is
+reduced to a deterministic line model: Td/TD with a vertical move, T*,
+Tm, ' and ET start a new line; everything shown in between
+concatenates.
 
 Scope (documented limitations, deliberate for a minimal extractor):
-no CMap/ToUnicode decoding (CID-font PDFs yield raw code bytes), no
-encryption, no LZW/DCT filters. ``extract_pdf_text`` NEVER raises on
+CID fonts WITHOUT a ToUnicode CMap yield raw code bytes (nothing maps
+them to text without embedded-font glyph analysis), no encryption, no
+LZW/DCT filters. ``extract_pdf_text`` NEVER raises on
 malformed input — corrupt files yield fewer pages and ``ok=False``
 when nothing could be recovered, mirroring the html parser's
 parse-never-raises contract.
@@ -212,6 +217,7 @@ class _Doc:
         self._objstm_cache: dict[int, dict] = {}
         self._objstm_map: dict[int, tuple[int, int]] | None = None
         self._objstm_building = False
+        self._font_cache: dict[int, dict | None] = {}
         try:
             self._parse_xref_chain()
         except _PdfErr:
@@ -570,6 +576,96 @@ def _walk_pages(doc: _Doc, node, visited: set[int], out: list[dict],
 # --- content-stream text tokenizer ----------------------------------------------
 
 
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFRANGE_ROW_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])")
+
+
+def _utf16be(hexs: bytes) -> str:
+    if len(hexs) % 2:
+        hexs += b"0"
+    raw = bytes.fromhex(hexs.decode("ascii"))
+    if len(raw) % 2:
+        raw += b"\x00"
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def parse_tounicode(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap -> {code: unicode string}: bfchar pairs and
+    bfrange triples (incrementing-destination and array forms). Codes
+    are taken at face value (Identity-H two-byte CIDs and one-byte
+    simple-font codes alike); never raises."""
+    out: dict[int, str] = {}
+    try:
+        for m in _BFCHAR_RE.finditer(data):
+            pairs = _HEX_RE.findall(m.group(1))
+            for src, dst in zip(pairs[0::2], pairs[1::2]):
+                out[int(src, 16)] = _utf16be(dst)
+        for m in _BFRANGE_RE.finditer(data):
+            for lo_h, hi_h, dst in _BFRANGE_ROW_RE.findall(m.group(1)):
+                lo, hi = int(lo_h, 16), int(hi_h, 16)
+                if hi < lo or hi - lo > 0x10000:
+                    continue
+                if dst.startswith(b"["):
+                    dsts = _HEX_RE.findall(dst)
+                    for k, d in enumerate(dsts[:hi - lo + 1]):
+                        out[lo + k] = _utf16be(d)
+                else:
+                    base = _utf16be(dst[1:-1])
+                    if not base:
+                        continue
+                    head, last = base[:-1], ord(base[-1])
+                    for k in range(hi - lo + 1):
+                        out[lo + k] = head + chr(last + k)
+    except Exception:
+        pass
+    return out
+
+
+def _inherited(doc: _Doc, page: dict, key: str, depth: int = 0):
+    """Page-tree attribute inheritance (/Resources may live on an
+    ancestor /Pages node)."""
+    node = page
+    seen = 0
+    while isinstance(node, dict) and seen <= 32:
+        if key in node:
+            return doc.resolve(node[key])
+        node = doc.resolve(node.get("Parent"))
+        seen += 1
+    return None
+
+
+def _page_fonts(doc: _Doc, page: dict) -> dict[str, dict | None]:
+    """{'/F1': cmap-or-None}: a font with a /ToUnicode CMap decodes
+    through it (composite/CID fonts); others decode latin-1."""
+    res = _inherited(doc, page, "Resources")
+    fonts = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
+    out: dict[str, dict | None] = {}
+    if not isinstance(fonts, dict):
+        return out
+    for name, fref in fonts.items():
+        cmap = None
+        if isinstance(fref, _Ref):
+            key = int(fref)
+            if key in doc._font_cache:
+                out["/" + name] = doc._font_cache[key]
+                continue
+        fdict = doc.resolve(fref)
+        if isinstance(fdict, dict):
+            tu = fdict.get("ToUnicode")
+            if isinstance(tu, _Ref):
+                sdict, raw = doc.get(int(tu))
+                if raw is not None:
+                    cmap = parse_tounicode(
+                        _decode_stream(doc, sdict, raw)) or None
+        if isinstance(fref, _Ref):
+            doc._font_cache[int(fref)] = cmap
+        out["/" + name] = cmap
+    return out
+
+
 def _page_text(doc: _Doc, page: dict) -> str:
     """Decode the page's content stream(s) — /Contents is a stream ref
     or an array of stream refs — and tokenize the text runs."""
@@ -586,14 +682,16 @@ def _page_text(doc: _Doc, page: dict) -> str:
         sdict, raw = doc.get(int(r))
         if raw is not None:
             chunks.append(_decode_stream(doc, sdict, raw))
-    return _extract_text_runs(b"\n".join(chunks))
+    return _extract_text_runs(b"\n".join(chunks), _page_fonts(doc, page))
 
 
-def _extract_text_runs(content: bytes) -> str:
+def _extract_text_runs(content: bytes,
+                       fonts: dict[str, dict | None] | None = None) -> str:
     lines: list[str] = []
     buf: list[str] = []
     stack: list = []
     in_text = False
+    cmap: dict | None = None  # active font's ToUnicode map (Tf-set)
 
     def flush() -> None:
         if buf:
@@ -601,8 +699,17 @@ def _extract_text_runs(content: bytes) -> str:
             buf.clear()
 
     def show(s) -> None:
-        if isinstance(s, bytes):
+        if not isinstance(s, bytes):
+            return
+        if cmap is None:
             buf.append(s.decode("latin-1"))
+            return
+        # composite font: two-byte big-endian codes through the CMap
+        # (odd trailing byte dropped; unmapped codes -> U+FFFD so
+        # missing glyph coverage is visible, not silently absent)
+        buf.append("".join(
+            cmap.get(int.from_bytes(s[k:k + 2], "big"), "�")
+            for k in range(0, len(s) - 1, 2)))
 
     i, n = 0, len(content)
     while i < n:
@@ -640,6 +747,10 @@ def _extract_text_runs(content: bytes) -> str:
         elif op == b"ET":
             flush()
             in_text = False
+        elif op == b"Tf":
+            # text-state op, legal outside BT/ET too
+            if fonts and len(stack) >= 2 and isinstance(stack[-2], str):
+                cmap = fonts.get(stack[-2])
         elif in_text:
             if op == b"Tj":
                 if stack:
@@ -733,11 +844,47 @@ def _esc_lit(s: str) -> bytes:
             .replace(b")", b"\\)")
 
 
-def _page_stream_bytes(lines: list[str], style: int) -> bytes:
+_CID_SHIFT = 0x100  # writer's CID = codepoint + 0x100 (so a latin-1
+#                     decode of the raw codes yields garbage — proof the
+#                     extractor really went through the ToUnicode CMap)
+
+
+def _cid_hex(line: str) -> bytes:
+    return "".join(f"{(ord(c) + _CID_SHIFT) & 0xFFFF:04x}"
+                   for c in line).encode("ascii")
+
+
+def _tounicode_cmap() -> bytes:
+    """ToUnicode CMap for the writer's Identity-H font: one bfrange
+    covering printable latin-1 plus bfchar entries (both forms parsed)."""
+    return (b"/CIDInit /ProcSet findresource begin\n"
+            b"12 dict begin\nbegincmap\n"
+            b"/CMapName /NRS-Identity-UCS def\n/CMapType 2 def\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"2 beginbfchar\n"
+            b"<0109> <0009>\n<010a> <000A>\n"
+            b"endbfchar\n"
+            b"1 beginbfrange\n"
+            b"<0120> <01ff> <0020>\n"
+            b"endbfrange\n"
+            b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
+            b"end\nend\n")
+
+
+def _page_stream_bytes(lines: list[str], style: int,
+                       cid: bool = False) -> bytes:
     """Content stream for one page. ``style`` varies the show operator
     so the corpus exercises every tokenizer path: 0 = Tj runs, 1 = TJ
-    arrays with kerning numbers, 2 = hex strings + ' next-line shows."""
+    arrays with kerning numbers, 2 = hex strings + ' next-line shows.
+    ``cid``: two-byte Identity-H codes in hex strings (decodable only
+    through the font's ToUnicode CMap)."""
     parts = [b"BT\n/F1 11 Tf\n13 TL\n72 720 Td\n"]
+    if cid:
+        for idx, line in enumerate(lines):
+            parts.append((b"T*\n" if idx else b"")
+                         + b"<" + _cid_hex(line) + b"> Tj\n")
+        parts.append(b"ET")
+        return b"".join(parts)
     for idx, line in enumerate(lines):
         if style == 1:
             half = len(line) // 2
@@ -759,7 +906,7 @@ def _page_stream_bytes(lines: list[str], style: int) -> bytes:
 
 def build_pdf(pages: list[list[str]], compress: bool = True,
               style: int = 0, layout: str = "classic",
-              predictor: bool = False) -> bytes:
+              predictor: bool = False, cid: bool = False) -> bytes:
     """Write a deterministic PDF; shares no code with the extractor.
 
     ``layout='classic'``: PDF 1.4 — direct objects, classic xref table,
@@ -772,6 +919,7 @@ def build_pdf(pages: list[list[str]], compress: bool = True,
     n_pages = max(len(pages), 1)
     pages = pages or [[""]]
     font_num = 2 + 2 * n_pages + 1
+    tou_num = font_num + 1 if cid else None
     ver = b"1.5" if layout == "objstm" else b"1.4"
     out = bytearray(b"%PDF-" + ver + b"\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -784,7 +932,7 @@ def build_pdf(pages: list[list[str]], compress: bool = True,
         out.extend(b"\nendobj\n")
 
     def content_obj(cnum: int, lines: list[str]) -> None:
-        content = _page_stream_bytes(lines, style)
+        content = _page_stream_bytes(lines, style, cid=cid)
         if compress:
             data = zlib.compress(content, 6)
             head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
@@ -792,6 +940,25 @@ def build_pdf(pages: list[list[str]], compress: bool = True,
             data = content
             head = b"<< /Length %d >>" % len(data)
         emit(cnum, head, data)
+
+    def emit_fonts() -> None:
+        if not cid:
+            emit(font_num, font)
+            return
+        emit(font_num,
+             (f"<< /Type /Font /Subtype /Type0 /BaseFont /NRS-CID "
+              f"/Encoding /Identity-H /ToUnicode {tou_num} 0 R "
+              f"/DescendantFonts [<< /Type /Font "
+              f"/Subtype /CIDFontType2 /BaseFont /NRS-CID "
+              f"/CIDSystemInfo << /Registry (Adobe) "
+              f"/Ordering (Identity) /Supplement 0 >> >>] >>").encode())
+        cmap = _tounicode_cmap()
+        if compress:
+            z = zlib.compress(cmap, 6)
+            emit(tou_num, b"<< /Length %d /Filter /FlateDecode >>"
+                 % len(z), z)
+        else:
+            emit(tou_num, b"<< /Length %d >>" % len(cmap), cmap)
 
     kids = " ".join(f"{3 + 2 * k} 0 R" for k in range(n_pages))
     cat = b"<< /Type /Catalog /Pages 2 0 R >>"
@@ -807,26 +974,27 @@ def build_pdf(pages: list[list[str]], compress: bool = True,
     font = (b"<< /Type /Font /Subtype /Type1 "
             b"/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
 
+    last_direct = tou_num if cid else font_num
     if layout != "objstm":
         emit(1, cat)
         emit(2, ptree)
         for k, lines in enumerate(pages):
             emit(3 + 2 * k, page_dict(k))
             content_obj(4 + 2 * k, lines)
-        emit(font_num, font)
+        emit_fonts()
         xref_pos = len(out)
-        out.extend(b"xref\n0 %d\n" % (font_num + 1))
+        out.extend(b"xref\n0 %d\n" % (last_direct + 1))
         out.extend(b"0000000000 65535 f \n")
-        for num in range(1, font_num + 1):
+        for num in range(1, last_direct + 1):
             out.extend(b"%010d 00000 n \n" % offsets[num])
         out.extend(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
-                   b"%d\n%%%%EOF\n" % (font_num + 1, xref_pos))
+                   b"%d\n%%%%EOF\n" % (last_direct + 1, xref_pos))
         return bytes(out)
 
     # --- objstm layout: dict objects packed into one object stream ----
     for k, lines in enumerate(pages):
         content_obj(4 + 2 * k, lines)
-    emit(font_num, font)
+    emit_fonts()
     members = [(1, cat), (2, ptree)] + \
         [(3 + 2 * k, page_dict(k)) for k in range(n_pages)]
     bodies = b" ".join(b for _n, b in members)
@@ -837,8 +1005,8 @@ def build_pdf(pages: list[list[str]], compress: bool = True,
         off += len(b) + 1
     header = b" ".join(head_pairs) + b"\n"
     stm_payload = header + bodies
-    stm_num = font_num + 1
-    xref_num = font_num + 2
+    stm_num = last_direct + 1
+    xref_num = last_direct + 2
     zipped = zlib.compress(stm_payload, 6)
     emit(stm_num, b"<< /Type /ObjStm /N %d /First %d /Length %d "
                   b"/Filter /FlateDecode >>"

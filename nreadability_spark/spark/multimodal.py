@@ -183,7 +183,8 @@ def build_doc_pdf(doc_id: int, text: str) -> bytes:
     # modern structure layer, not just the 1.4 shape
     pdf = build_pdf(pages, compress=True, style=int(doc_id) % 3,
                     layout="objstm" if doc_id % 2 else "classic",
-                    predictor=doc_id % 4 == 3)
+                    predictor=doc_id % 4 == 3,
+                    cid=doc_id % 5 == 2)
     if doc_id % 89 == 0:
         return pdf[:40]
     if doc_id % 53 == 0:

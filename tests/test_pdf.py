@@ -220,3 +220,82 @@ def test_build_doc_pdf_damage_classes():
     for did in (71, 142):
         badlen = extract_pdf_text(build_doc_pdf(did, text))
         assert badlen.ok and badlen.text, did
+
+
+@pytest.mark.parametrize("layout", ["classic", "objstm"])
+@pytest.mark.parametrize("compress", [True, False])
+def test_cid_font_round_trip(layout, compress):
+    """Identity-H two-byte codes must decode through the ToUnicode
+    CMap — a latin-1 read of the raw codes yields garbage, so matching
+    text proves the CMap path ran."""
+    r = extract_pdf_text(build_pdf(PAGES, compress=compress,
+                                   layout=layout, cid=True))
+    assert r.ok and r.pages == WANT
+
+
+def test_cid_unmapped_codes_surface_as_replacement():
+    pdf = build_pdf([["abc"]], cid=True, compress=False)
+    bad = pdf.replace(b"<0120> <01ff> <0020>", b"<0120> <0161> <0020>")
+    r = extract_pdf_text(bad)
+    assert r.ok and r.pages == ["a��"]
+
+
+def test_mixed_simple_and_cid_fonts_switch_via_tf():
+    """Tf mid-page must switch decoders: /F1 simple latin-1, /F2 CID."""
+    import zlib as _z
+    from nreadability_spark.readability.pdf import (_cid_hex,
+                                                    _tounicode_cmap)
+    cmap = _tounicode_cmap()
+    content = (b"BT /F1 11 Tf (plain line) Tj T* "
+               b"/F2 11 Tf <" + _cid_hex("cid line") + b"> Tj T* "
+               b"/F1 11 Tf (plain again) Tj ET")
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+
+    def emit(num, body):
+        offs[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>")
+    # Resources live on the PARENT node: inheritance must find them
+    emit(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    emit(4, b"<< /Length %d >>\nstream\n" % len(content)
+         + content + b"\nendstream")
+    emit(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    emit(6, b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+            b"/ToUnicode 7 0 R >>")
+    emit(7, b"<< /Length %d >>\nstream\n" % len(cmap)
+         + cmap + b"\nendstream")
+    xref = len(out)
+    out.extend(b"xref\n0 8\n0000000000 65535 f \n")
+    for k in range(1, 8):
+        out.extend(b"%010d 00000 n \n" % offs[k])
+    out.extend(b"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n%d\n"
+               b"%%%%EOF\n" % xref)
+    r = extract_pdf_text(bytes(out))
+    assert r.ok
+    assert r.pages == ["plain line\ncid line\nplain again"]
+
+
+def test_tounicode_cmap_parser_forms():
+    from nreadability_spark.readability.pdf import parse_tounicode
+    cmap = (b"2 beginbfchar\n<0041> <0058>\n<0042> <00590059>\n"
+            b"endbfchar\n"
+            b"1 beginbfrange\n<0050> <0052> [<0061> <0062> <0063>]\n"
+            b"endbfrange\n"
+            b"1 beginbfrange\n<0100> <0102> <0030>\nendbfrange\n")
+    m = parse_tounicode(cmap)
+    assert m[0x41] == "X" and m[0x42] == "YY"          # bfchar, multi
+    assert (m[0x50], m[0x51], m[0x52]) == ("a", "b", "c")  # array form
+    assert (m[0x100], m[0x101], m[0x102]) == ("0", "1", "2")  # inc form
+    assert parse_tounicode(b"\x00garbage[[") == {}
+
+
+def test_build_doc_pdf_cid_class_round_trips():
+    from nreadability_spark.spark.multimodal import build_doc_pdf
+    text = "alpha beta gamma delta " * 30
+    r = extract_pdf_text(build_doc_pdf(7, text))   # 7 % 5 == 2 -> CID
+    r2 = extract_pdf_text(build_doc_pdf(12, text))  # 12 % 5 == 2 -> CID
+    assert r.ok and r2.ok and r.text and "�" not in r.text
