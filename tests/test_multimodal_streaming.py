@@ -393,3 +393,36 @@ def test_warc_stream_ingest_and_extract(spark, tmp_path_factory):
     urls = [r["url"] for r in spark.read.parquet(out_dir).collect()]
     assert sorted(urls) == sorted(
         "https://ws.example/%d" % i for i in range(5))  # no re-reads
+
+
+def test_robots_filter_works_on_streams(spark, tmp_path_factory):
+    """The politeness gate composes with Structured Streaming: a
+    streaming pages source joins the STATIC robots table (stream-static
+    join) and flows through the same Arrow-batch verdicts — continuous
+    ingest gets robots gating with zero extra code."""
+    import gzip
+    from nreadability_spark.spark.sources import (robots_filter,
+                                                  synthesize_robots)
+    from nreadability_spark.spark.streaming import read_pages_warc_stream
+    from tests.test_warc_source import _record
+    src = str(tmp_path_factory.mktemp("warc_robots_src"))
+    ck = str(tmp_path_factory.mktemp("warc_robots_ck"))
+    out_dir = str(tmp_path_factory.mktemp("warc_robots_out"))
+    # host3 % 3 == 0: nrsbot group only allows ids ending in 1
+    recs = [(b"https://host3.example.org/articles/3", b"blocked"),
+            (b"https://host3.example.org/articles/31", b"allowed"),
+            (b"https://host17.example.org/articles/17", b"no robots")]
+    with open(os.path.join(src, "seg.warc.gz"), "wb") as f:
+        f.write(b"".join(gzip.compress(_record(b"response", u, b"<p>x</p>"))
+                         for u, _ in recs))
+    stream = read_pages_warc_stream(spark, src)
+    gated = robots_filter(stream, synthesize_robots(spark))
+    assert gated.isStreaming
+    q = (gated.selectExpr("url")
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    urls = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert urls == {"https://host3.example.org/articles/31",
+                    "https://host17.example.org/articles/17"}
