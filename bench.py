@@ -131,7 +131,8 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "lang_mix_weights", "pack_sequences", "pack_sequences64",
                  "dedup_lines", "dedup_lines_within_doc", "lm_bigram_score",
                  "host_pagerank", "gopher_quality", "bpe_merges",
-                 "bpe_encode", "dedup_minhash_incremental", "corpus_diff"):
+                 "bpe_encode", "dedup_minhash_incremental", "corpus_diff",
+                 "sitemap_urls"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

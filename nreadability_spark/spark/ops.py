@@ -2012,6 +2012,77 @@ LM_BIGRAM_SCORE_SQL = f"""
 """
 
 
+# --- sitemap ingestion ------------------------------------------------------------
+
+def sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl discovery from sitemaps: per-host sitemap.xml payloads
+    (synthesized deterministically, one urlset per host with
+    loc/lastmod/priority per document) parsed back into the URL seed
+    table a frontier consumes. XML handling is the pragmatic crawler
+    shape — split on <url> blocks, field regexes per block — identical
+    in both engines, and deliberately tolerant (real sitemaps are
+    machine-written but frequently invalid XML).
+
+    Scale shape: building the per-host blobs is one host-key exchange
+    with ordered string aggregation (in production the blobs ARRIVE
+    from fetches, so only the parse side exists: a zero-shuffle per-row
+    projection + explode)."""
+    docs = _read(spark, sf_dir, "documents")
+    entries = docs.selectExpr(
+        "cast(doc_id % 97 as bigint) as host",
+        "doc_id",
+        "concat('<url><loc>https://host', cast(doc_id % 97 as string),"
+        " '.example.org/articles/', cast(doc_id as string),"
+        " '</loc><lastmod>',"
+        " date_format(date_add(date'2026-01-01',"
+        "                      cast(doc_id % 365 as int)), 'yyyy-MM-dd'),"
+        " '</lastmod><priority>0.', cast(doc_id % 10 as string),"
+        " '</priority></url>') as entry")
+    smaps = entries.groupBy("host").agg(F.expr(
+        "concat('<?xml version=\"1.0\"?><urlset>',"
+        " concat_ws('', transform(array_sort("
+        "   collect_list(struct(doc_id, entry))), s -> s.entry)),"
+        " '</urlset>')").alias("xml"))
+    blocks = smaps.selectExpr(
+        "host", "explode(regexp_extract_all(xml, '<url>.*?</url>', 0)) as b")
+    return blocks.selectExpr(
+        "host",
+        "regexp_extract(b, '<loc>([^<]*)</loc>', 1) as loc",
+        "regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) as lastmod",
+        "cast(cast(regexp_extract(b, '<priority>0[.]([0-9])</priority>',"
+        " 1) as bigint) * 100 as bigint) as priority_milli")
+
+
+SITEMAP_URLS_SQL = """
+    with entries as (
+      select cast(doc_id % 97 as bigint) as host,
+             '<url><loc>https://host' || cast(doc_id % 97 as varchar) ||
+             '.example.org/articles/' || cast(doc_id as varchar) ||
+             '</loc><lastmod>' ||
+             strftime(date '2026-01-01'
+                      + ((doc_id % 365) || ' days')::interval,
+                      '%Y-%m-%d') ||
+             '</lastmod><priority>0.' || cast(doc_id % 10 as varchar) ||
+             '</priority></url>' as entry,
+             doc_id
+      from documents),
+    smaps as (
+      select host,
+             '<?xml version="1.0"?><urlset>' ||
+             string_agg(entry, '' order by doc_id) || '</urlset>' as xml
+      from entries group by 1),
+    blocks as (
+      select host, unnest(regexp_extract_all(xml, '<url>.*?</url>')) as b
+      from smaps)
+    select host,
+           regexp_extract(b, '<loc>([^<]*)</loc>', 1) as loc,
+           regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) as lastmod,
+           cast(cast(regexp_extract(b, '<priority>0[.]([0-9])</priority>',
+                1) as bigint) * 100 as bigint) as priority_milli
+    from blocks
+"""
+
+
 # --- corpus snapshot diffing ------------------------------------------------------
 
 def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3323,4 +3394,5 @@ SQL_OPS = {
     "ann_ivf_topk64": (ann_ivf_topk64, ANN_IVF_TOPK64_SQL),
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
     "top_spenders": (top_spenders, TOP_SPENDERS_SQL),
+    "sitemap_urls": (sitemap_urls, SITEMAP_URLS_SQL),
 }
