@@ -624,7 +624,7 @@ def parse_tounicode(data: bytes) -> dict[int, str]:
     return out
 
 
-def _inherited(doc: _Doc, page: dict, key: str, depth: int = 0):
+def _inherited(doc: _Doc, page: dict, key: str):
     """Page-tree attribute inheritance (/Resources may live on an
     ancestor /Pages node)."""
     node = page

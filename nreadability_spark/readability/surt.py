@@ -36,7 +36,7 @@ def _decode_unreserved(s: str) -> str:
     i, n = 0, len(s)
     while i < n:
         c = s[i]
-        if c == "%" and i + 2 < n + 1 and i + 3 <= n \
+        if c == "%" and i + 3 <= n \
                 and re.match(r"%[0-9A-Fa-f]{2}", s[i:i + 3]):
             ch = chr(int(s[i + 1:i + 3], 16))
             if ch in _UNRESERVED:

@@ -2279,10 +2279,9 @@ def bpe_encode(spark: SparkSession, sf_dir: str,
 
 def _bpe_encode_sql(rounds: int = _BPE_MERGE_ROUNDS) -> str:
     base = _bpe_merges_sql(rounds)
-    # reuse the full training CTE chain; swap the merge-table SELECT for
-    # the encode query over the final symbol table s{rounds}
-    chain = base[:base.rindex("\n    select cast(1 as bigint)")] \
-        if "\n    select cast(1 as bigint)" in base else base
+    # reuse the full training CTE chain; swap the merge-table SELECT
+    # (the only 4-space-indented select in the text) for the encode
+    # query over the final symbol table s{rounds}
     chain = base.rsplit("\n    select", 1)[0]
     return f"""{chain},
     vocab as (

@@ -469,7 +469,7 @@ def warc_index(spark: SparkSession, warc_dir: str) -> DataFrame:
 
 
 def warc_index_write(spark: SparkSession, warc_dir: str, out_dir: str,
-                     n_shards: int = None) -> None:
+                     n_shards: int | None = None) -> None:
     """Materialize the CDX index in its serving layout: globally
     range-partitioned and sorted by (surt, warc_epoch), so a domain
     lookup binary-searches one shard and scans a contiguous run — the
