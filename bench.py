@@ -132,7 +132,7 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "dedup_lines", "dedup_lines_within_doc", "lm_bigram_score",
                  "host_pagerank", "gopher_quality", "bpe_merges",
                  "bpe_encode", "dedup_minhash_incremental", "corpus_diff",
-                 "sitemap_urls"):
+                 "sitemap_urls", "format_detect"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

@@ -3327,10 +3327,69 @@ GOPHER_QUALITY_SQL = f"""
 """
 
 
+# --- format routing (code vs prose) -----------------------------------------------
+
+# the synthesized corpus is prose-only word salad, so deterministic
+# code-shaped content is injected into a doc_id-keyed subset (the same
+# expression in both engines — the _PII_TEXT pattern), sized
+# proportionally to the document so the ratio features stay meaningful
+_CODE_TEXT_SPARK = (
+    "concat(text, case when doc_id % 6 = 0 then repeat("
+    "' function f(x) { var y = x + 1; return y; } // code', "
+    "1 + cast(floor(n_chars / 120) as int)) else '' end)")
+_CODE_TEXT_DUCK = (
+    "text || (case when doc_id % 6 = 0 then repeat("
+    "' function f(x) { var y = x + 1; return y; } // code', "
+    "1 + cast(floor(n_chars / 120) as int)) else '' end)")
+_CODE_SYMS = "[{};=()]"
+_CODE_KW = "(function|var |return|def |class |import )"
+
+
+def format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing (the corpus classification The Stack /
+    StarCoder pipelines run before language-specific processing):
+    punctuation-symbol density plus code-keyword hits, composed into an
+    is_code verdict. Zero-shuffle scan projection like gopher_quality —
+    one pass at any corpus size, fusing with the next consumer."""
+    docs = _read(spark, sf_dir, "documents")
+    t = docs.selectExpr("cast(doc_id as bigint) as doc_id",
+                        f"{_CODE_TEXT_SPARK} as t")
+    return t.selectExpr(
+        "doc_id",
+        "cast(length(t) as bigint) as n_chars",
+        f"cast(size(regexp_extract_all(t, '{_CODE_SYMS}', 0)) as bigint)"
+        " as n_symbols",
+        f"cast(size(regexp_extract_all(lower(t), '{_CODE_KW}', 0))"
+        " as bigint) as kw_hits",
+        f"cast(floor(size(regexp_extract_all(t, '{_CODE_SYMS}', 0))"
+        " * 1000.0 / greatest(length(t), 1)) as bigint) as symbol_milli",
+    ).selectExpr(
+        "doc_id", "n_chars", "n_symbols", "kw_hits", "symbol_milli",
+        "(symbol_milli >= 20 and kw_hits >= 2) as is_code")
+
+
+FORMAT_DETECT_SQL = f"""
+    select doc_id, n_chars, n_symbols, kw_hits, symbol_milli,
+           (symbol_milli >= 20 and kw_hits >= 2) as is_code
+    from (
+      select cast(doc_id as bigint) as doc_id,
+             cast(length(t) as bigint) as n_chars,
+             cast(len(regexp_extract_all(t, '{_CODE_SYMS}')) as bigint)
+               as n_symbols,
+             cast(len(regexp_extract_all(lower(t), '{_CODE_KW}'))
+               as bigint) as kw_hits,
+             cast(floor(len(regexp_extract_all(t, '{_CODE_SYMS}'))
+               * 1000.0 / greatest(length(t), 1)) as bigint)
+               as symbol_milli
+      from (select doc_id, {_CODE_TEXT_DUCK} as t, n_chars as nc
+            from documents))
+"""
+
+
 # --- registry -------------------------------------------------------------------
 
 # Ordering contract (VERDICT r4 item 1): the driver's correctness gate
-# checks the FIRST 50 entries of __spark_entry__.queries() — 11 kernel
+# checks the FIRST 50 entries of __spark_entry__.queries() — 12 kernel
 # queries then this dict in insertion order. Every LLM-pipeline-relevant
 # operator therefore sits in the leading block; the trailing OVERFLOW
 # block (width variants of in-window ops, trivial rollup demos, and the
@@ -3394,4 +3453,5 @@ SQL_OPS = {
     "orders_by_nation": (orders_by_nation, ORDERS_BY_NATION_SQL),
     "top_spenders": (top_spenders, TOP_SPENDERS_SQL),
     "sitemap_urls": (sitemap_urls, SITEMAP_URLS_SQL),
+    "format_detect": (format_detect, FORMAT_DETECT_SQL),
 }
