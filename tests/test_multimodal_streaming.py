@@ -260,9 +260,11 @@ def test_streaming_dedup_state_ttl_eviction(spark, tmp_path_factory):
             time.sleep(0.5)
         raise AssertionError(f"sink never reached {n} rows")
 
-    # well above this box's ~6 s wave->batch latency so the intra-TTL
-    # copy provably lands inside the window
-    ttl_ms = 15000
+    # far above this box's wave->batch latency (~6 s idle, observed up
+    # to ~20 s when a full test suite shares the cores) so the
+    # intra-TTL copy provably lands inside the window even in a
+    # contended run
+    ttl_ms = 30000
     write_wave([page("https://a.example/1", "AAA"),
                 page("https://b.example/1", "BBB")])
     stream = dedup_stream(
@@ -279,7 +281,7 @@ def test_streaming_dedup_state_ttl_eviction(spark, tmp_path_factory):
         # inside the TTL: A again -> still deduped, state refreshed
         write_wave([page("https://a.example/2", "AAA")])
         wait_rows(3)                      # + A(false,2)
-        time.sleep(2 * ttl_ms / 1000.0)   # both keys idle past the TTL
+        time.sleep(1.5 * ttl_ms / 1000.0)  # both keys idle past the TTL
         # force a data batch so the timeout sweep provably ran even if
         # no-data batches were not scheduled: C arrives, A+B evicted
         write_wave([page("https://c.example/1", "CCC")])
