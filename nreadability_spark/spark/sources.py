@@ -482,3 +482,20 @@ def warc_index_write(spark: SparkSession, warc_dir: str, out_dir: str,
     (df.repartitionByRange(n_shards, "surt", "warc_epoch")
      .sortWithinPartitions("surt", "warc_epoch")
      .write.mode("overwrite").parquet(out_dir))
+
+
+def warc_lookup(spark: SparkSession, index_dir: str, url: str) -> DataFrame:
+    """Serve one URL's capture history from the materialized index:
+    canonicalize the query to its SURT key and read the range-ordered
+    shards with the equality predicate PUSHED to the parquet scan —
+    min/max statistics skip every shard and row group outside the key's
+    range, so a lookup touches ~one shard of the whole index (the
+    ranged-read analog of a wayback query). Returns (surt, url,
+    warc_epoch, file, offset, length) rows, newest first."""
+    from pyspark.sql import functions as F
+
+    from nreadability_spark.readability.surt import surt_key
+    key = surt_key(url)
+    return (spark.read.parquet(index_dir)
+            .where(F.col("surt") == key)
+            .orderBy(F.col("warc_epoch").desc_nulls_last()))

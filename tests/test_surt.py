@@ -175,3 +175,42 @@ def test_compact_job_rewrites_small_files(tmp_path_factory):
         assert report2["content_match"] is True
     finally:
         spark.stop()
+
+
+def test_warc_lookup_pushes_key_to_scan(tmp_path_factory):
+    """The lookup must reach the shards as a pushed parquet filter (so
+    min/max stats skip non-matching shards/row groups), find the record
+    under ANY equivalent url spelling, and return captures newest
+    first."""
+    import os
+
+    import pytest
+    pytest.importorskip("pyspark")
+    from nreadability_spark.spark.pages import synthesize_warc_dir
+    from nreadability_spark.spark.session import get_spark
+    from nreadability_spark.spark.sources import (warc_index_write,
+                                                  warc_lookup)
+    spark = get_spark("surt-lookup-tests", master="local[4]",
+                      shuffle_partitions=8)
+    try:
+        warc_dir = synthesize_warc_dir("/root/testdata/sf0.001")
+        out = str(tmp_path_factory.mktemp("cdx_serve"))
+        warc_index_write(spark, warc_dir, out, n_shards=4)
+        df = warc_lookup(spark, out,
+                         "https://host7.example.org/articles/7")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(surt), EqualTo(surt," in plan
+        rows = df.collect()
+        assert len(rows) == 1
+        assert rows[0]["url"] == "https://host7.example.org/articles/7"
+        assert rows[0]["length"] > 0
+        # equivalent spelling, same record (SURT canonicalization)
+        alt = warc_lookup(
+            spark, out,
+            "HTTP://www.host7.example.org:80/articles/x/../7").collect()
+        assert [r["url"] for r in alt] == [rows[0]["url"]]
+        # miss -> empty, not error
+        assert warc_lookup(spark, out,
+                           "https://nohost.example/zzz").count() == 0
+    finally:
+        spark.stop()
