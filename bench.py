@@ -132,7 +132,8 @@ def run_bench(spark, sf_dir: str) -> dict:
                  "dedup_lines", "dedup_lines_within_doc", "lm_bigram_score",
                  "host_pagerank", "gopher_quality", "bpe_merges",
                  "bpe_encode", "dedup_minhash_incremental", "corpus_diff",
-                 "sitemap_urls", "format_detect"):
+                 "sitemap_urls", "format_detect",
+                 "dedup_simhash_incremental"):
         fn, _sql = SQL_OPS[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

@@ -610,6 +610,126 @@ def dedup_simhash_bucketed(spark: SparkSession,
                         F.col("doc2").cast("long"), "hamming")
 
 
+def _simhash_bands_of(sims: DataFrame) -> DataFrame:
+    return sims.selectExpr(
+        "doc_id", "simhash",
+        "explode(array(0, 1, 2, 3)) as band_id"
+    ).selectExpr(
+        "doc_id", "simhash", "band_id",
+        "shiftright(simhash, band_id * 15) & 32767 as band_sig")
+
+
+def simhash_index_build(spark: SparkSession, sf_dir: str,
+                        table: str = "simhash_idx",
+                        n_buckets: int = 16,
+                        batch_mod: int = 10) -> None:
+    """Persisted simhash band index for incremental near-dup checking —
+    the same recipe as minhash_index_build (uncapped bucketed bands +
+    an additive per-bucket count table), with the 60-bit fingerprint
+    carried on every band row so the hamming verify needs no second
+    lookup."""
+    sims = simhash(spark, sf_dir).where(F.col("doc_id") % batch_mod != 0)
+    bands = _simhash_bands_of(sims)
+    _drop_bucketed_table(spark, table)
+    _drop_bucketed_table(spark, f"{table}_counts")
+    (bands.write.mode("overwrite")
+     .bucketBy(n_buckets, "band_id", "band_sig")
+     .sortBy("band_id", "band_sig")
+     .saveAsTable(table))
+    (spark.table(table)
+     .groupBy("band_id", "band_sig")
+     .agg(F.count("*").cast("long").alias("n"))
+     .write.mode("overwrite")
+     .bucketBy(n_buckets, "band_id", "band_sig")
+     .saveAsTable(f"{table}_counts"))
+
+
+def simhash_index_append(spark: SparkSession, batch_bands: DataFrame,
+                         table: str = "simhash_idx",
+                         n_buckets: int = 16) -> None:
+    """Fold a checked batch's simhash bands into the persisted index
+    (bucket spec restated; counts appended as delta rows)."""
+    (batch_bands.select("doc_id", "simhash", "band_id", "band_sig")
+     .write.mode("append")
+     .bucketBy(n_buckets, "band_id", "band_sig")
+     .sortBy("band_id", "band_sig")
+     .saveAsTable(table))
+    (batch_bands.groupBy("band_id", "band_sig")
+     .agg(F.count("*").cast("long").alias("n"))
+     .write.mode("append")
+     .bucketBy(n_buckets, "band_id", "band_sig")
+     .saveAsTable(f"{table}_counts"))
+
+
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str,
+                              table: str = "simhash_idx") -> DataFrame:
+    """Incremental simhash near-dup pairs: the batch (doc_id % 10 == 0)
+    joins the PERSISTED band index — zero exchange on the index side,
+    only the batch shuffles — plus a tiny batch self-join; capping uses
+    summed index+batch counts so rows equal the full dedup_simhash
+    restricted to batch-touching pairs (the oracle pins this). The
+    hamming distance verifies against the fingerprint carried on the
+    matched index rows, so candidate verification costs no extra
+    corpus access."""
+    simhash_index_build(spark, sf_dir, table=table)
+    keys = ["band_id", "band_sig"]
+    batch = _cut_lineage(_simhash_bands_of(
+        simhash(spark, sf_dir).where(F.col("doc_id") % 10 == 0)))
+    idx = spark.table(table)
+    idx_counts = (spark.table(f"{table}_counts")
+                  .groupBy(*keys).agg(F.sum("n").alias("n_idx")))
+    batch_counts = (batch.groupBy(*keys)
+                    .agg(F.count("*").alias("n_new")))
+    big = (idx_counts.join(batch_counts, keys, "full_outer")
+           .where(F.coalesce(F.col("n_idx"), F.lit(0))
+                  + F.coalesce(F.col("n_new"), F.lit(0)) > _MAX_BUCKET)
+           .select(*keys))
+    ok_batch = _cut_lineage(batch.join(F.broadcast(big), keys,
+                                       "left_anti"))
+    new_old = (ok_batch.join(
+        idx.selectExpr("doc_id as doc_other", "simhash as sim_other",
+                       *keys), keys)
+        .where(F.col("doc_id") != F.col("doc_other"))
+        .selectExpr("least(doc_id, doc_other) as doc1",
+                    "greatest(doc_id, doc_other) as doc2",
+                    "if(doc_id < doc_other, simhash, sim_other) as sim1",
+                    "if(doc_id < doc_other, sim_other, simhash) as sim2"))
+    a = ok_batch.selectExpr("doc_id as doc1", "simhash as sim1", *keys)
+    b = ok_batch.selectExpr("doc_id as doc2", "simhash as sim2", *keys)
+    new_new = (a.join(b, keys)
+               .where(F.col("doc1") < F.col("doc2"))
+               .select("doc1", "doc2", "sim1", "sim2"))
+    pairs = (new_old.unionByName(new_new).distinct()
+             .selectExpr("doc1", "doc2",
+                         "cast(bit_count(sim1 ^ sim2) as bigint)"
+                         " as hamming")
+             .where(F.col("hamming") <= _HAMMING_MAX))
+    return pairs.select(F.col("doc1").cast("long"),
+                        F.col("doc2").cast("long"), "hamming")
+
+
+DEDUP_SIMHASH_INCREMENTAL_SQL = f"""
+    with sims as ({SIMHASH_SQL}),
+    bands as (
+      select doc_id, simhash, band_id,
+             (simhash >> (band_id * 15)) & 32767 as band_sig
+      from sims, unnest([0, 1, 2, 3]) as t(band_id)
+    ),
+    {_cap_buckets_duck('bands')},
+    pairs as (
+      select distinct a.doc_id as doc1, b.doc_id as doc2,
+             a.simhash as sim1, b.simhash as sim2
+      from bands_ok a join bands_ok b
+        on a.band_id = b.band_id and a.band_sig = b.band_sig
+       and a.doc_id < b.doc_id
+    )
+    select cast(doc1 as bigint) as doc1, cast(doc2 as bigint) as doc2,
+           cast(bit_count(xor(sim1, sim2)) as bigint) as hamming
+    from pairs where bit_count(xor(sim1, sim2)) <= {_HAMMING_MAX}
+      and (doc1 % 10 = 0 or doc2 % 10 = 0)
+"""
+
+
 # --- minhash LSH ---------------------------------------------------------------
 
 _N_MINHASH = 16
@@ -3454,4 +3574,6 @@ SQL_OPS = {
     "top_spenders": (top_spenders, TOP_SPENDERS_SQL),
     "sitemap_urls": (sitemap_urls, SITEMAP_URLS_SQL),
     "format_detect": (format_detect, FORMAT_DETECT_SQL),
+    "dedup_simhash_incremental": (dedup_simhash_incremental,
+                                  DEDUP_SIMHASH_INCREMENTAL_SQL),
 }

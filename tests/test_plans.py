@@ -559,3 +559,40 @@ def test_corpus_diff_is_single_fullouter_join(spark):
     import re
     exch = re.findall(r"\(\d+\) Exchange[\s\S]*?Arguments: [^\n]*", plan)
     assert exch and all("text" not in e for e in exch)
+
+
+def test_simhash_incremental_index_side_has_no_exchange(spark):
+    """Same zero-exchange-on-the-index contract as the minhash
+    incremental path, for the simhash band index."""
+    import re
+    from nreadability_spark.spark.ops import dedup_simhash_incremental
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup_simhash_incremental(spark, SF_DIR,
+                                       table="t_simhash_inc_plan")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        spark.sql("drop table if exists t_simhash_inc_plan")
+        spark.sql("drop table if exists t_simhash_inc_plan_counts")
+    scans = [m.start() for m in
+             re.finditer(r"FileScan parquet [^\n]*t_simhash_inc_plan",
+                         plan)]
+    assert scans
+    assert plan.count("SelectedBucketsCount") == len(scans)
+    lines = plan.splitlines()
+    for ln, line in enumerate(lines):
+        if "FileScan parquet" not in line or "t_simhash_inc_plan" \
+                not in line:
+            continue
+        depth = len(line) - len(line.lstrip(" :+-"))
+        for k in range(ln - 1, -1, -1):
+            up = lines[k]
+            udepth = len(up) - len(up.lstrip(" :+-"))
+            if udepth >= depth:
+                continue
+            assert "Exchange" not in up, (
+                f"Exchange above index scan:\n{up}\n{line}")
+            if "Join" in up or "HashAggregate" in up:
+                break
+            depth = udepth
