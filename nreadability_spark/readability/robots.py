@@ -96,19 +96,38 @@ def _pattern_matches(pattern: str, path: str) -> bool:
 
 
 def _select_group(robots: Robots, agent: str) -> RobotsGroup | None:
-    """Longest agent-token prefix match; ``*`` only as fallback."""
+    """Longest agent-token prefix match; ``*`` only as fallback.
+
+    RFC 9309 §2.2.1: when MULTIPLE groups match the product token (two
+    ``User-agent: bot`` blocks, or several ``*`` blocks), their rules
+    are combined — a later group's Disallow must not be silently
+    dropped. So all groups matching at the winning specificity are
+    merged (rules concatenated in file order; first crawl-delay wins).
+    """
     agent = (agent or "").lower()
-    best: RobotsGroup | None = None
     best_len = -1
-    star: RobotsGroup | None = None
     for g in robots.groups:
         for a in g.agents:
-            if a == "*":
-                if star is None:
-                    star = g
-            elif agent.startswith(a) and len(a) > best_len:
-                best, best_len = g, len(a)
-    return best if best is not None else star
+            if a != "*" and agent.startswith(a) and len(a) > best_len:
+                best_len = len(a)
+    if best_len >= 0:
+        matched = [g for g in robots.groups
+                   if any(a != "*" and len(a) == best_len
+                          and agent.startswith(a) for a in g.agents)]
+    else:
+        matched = [g for g in robots.groups if "*" in g.agents]
+    if not matched:
+        return None
+    if len(matched) == 1:
+        return matched[0]
+    merged = RobotsGroup(
+        agents=[a for g in matched for a in g.agents],
+        rules=[r for g in matched for r in g.rules])
+    for g in matched:
+        if g.crawl_delay is not None:
+            merged.crawl_delay = g.crawl_delay
+            break
+    return merged
 
 
 def is_allowed(robots: Robots, agent: str, path: str) -> bool:

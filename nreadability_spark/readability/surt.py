@@ -29,9 +29,11 @@ _UNRESERVED = set("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
                   "abcdefghijklmnopqrstuvwxyz0123456789-._~")
 
 
-def _decode_unreserved(s: str) -> str:
-    """%XX of unreserved chars -> literal; other escapes keep uppercase
-    hex; bare '%' passes through."""
+def _decode_unreserved_lower(s: str) -> str:
+    """%XX of unreserved chars -> literal (then lowercased); other
+    escapes keep uppercase hex; bare '%' passes through. Decoding
+    happens BEFORE lowercasing so '/%41' and '/A' both canonicalize to
+    '/a' — equivalent encodings of the same resource must collide."""
     out = []
     i, n = 0, len(s)
     while i < n:
@@ -40,12 +42,12 @@ def _decode_unreserved(s: str) -> str:
                 and re.match(r"%[0-9A-Fa-f]{2}", s[i:i + 3]):
             ch = chr(int(s[i + 1:i + 3], 16))
             if ch in _UNRESERVED:
-                out.append(ch)
+                out.append(ch.lower())
             else:
                 out.append("%" + s[i + 1:i + 3].upper())
             i += 3
         else:
-            out.append(c)
+            out.append(c.lower())
             i += 1
     return "".join(out)
 
@@ -69,12 +71,12 @@ def canonicalize(url: str) -> tuple[str, str, str]:
     u = (url or "").strip()
     u = _SCHEME_RE.sub("", u, count=1)
     u = u.split("#", 1)[0]
-    hostport, sep, rest = u.partition("/")
-    if "?" in hostport:  # query directly after host
-        hostport, _, q = hostport.partition("?")
-        rest = "?" + q if not sep else rest
-    path, _, query = ("/" + rest).partition("?") if sep or "?" in u \
-        else ("/" + rest if rest else "/", "", "")
+    # query starts at the first '?' no matter what follows it — split it
+    # off BEFORE partitioning on '/' so slashes inside the query can't
+    # be mistaken for the path ('example.com?a=1/b' has path '/').
+    pre_q, _, query = u.partition("?")
+    hostport, sep, rest = pre_q.partition("/")
+    path = "/" + rest if sep else "/"
     if "@" in hostport:
         hostport = hostport.rsplit("@", 1)[1]
     host = hostport.lower()
@@ -85,14 +87,14 @@ def canonicalize(url: str) -> tuple[str, str, str]:
     host = host.strip(".")
     if not host or not re.match(r"^[a-z0-9.:\[\]_-]+$", host):
         return "", (url or "").lower(), ""
-    path = _decode_unreserved(path.lower())
+    path = _decode_unreserved_lower(path)
     path = _resolve_dots(path)
     if path.endswith("/") and len(path) > 1:
         path = path[:-1]
     if not path:
         path = "/"
     if query:
-        parts = sorted(_decode_unreserved(query.lower()).split("&"))
+        parts = sorted(_decode_unreserved_lower(query).split("&"))
         query = "&".join(p for p in parts if p)
     return host, path, query
 

@@ -215,8 +215,10 @@ def synthesize_chained_pages(spark: SparkSession, sf_dir: str,
 # HTTP envelope strip -> ANSI-safe UTC date cast. Deterministic parser
 # stress is woven in: request/warcinfo records that must be dropped
 # (doc_id % 50), a garbage Content-Length that must resynchronize on the
-# record delimiter (doc_id % 61), and a missing WARC-Date that must land
-# as a null timestamp (doc_id % 83).
+# record delimiter (doc_id % 61), a missing WARC-Date that must land
+# as a null timestamp (doc_id % 83), and HTTP transfer/content codings
+# (chunked / gzip / zlib+raw deflate / gzip-then-chunked, doc_id % 9)
+# the payload decoder must undo.
 
 _WARC_EPOCH_S = 1767225600  # 2026-01-01T00:00:00Z
 
@@ -240,13 +242,50 @@ def _warc_head(wtype: str, uri: str, date: str, length) -> bytes:
     return head.encode("utf-8")
 
 
+def _http_chunked(payload: bytes, size: int = 500) -> bytes:
+    """Deterministic Transfer-Encoding: chunked framing."""
+    out = []
+    for i in range(0, len(payload), size):
+        c = payload[i:i + size]
+        out.append(b"%x\r\n" % len(c) + c + b"\r\n")
+    out.append(b"0\r\n\r\n")
+    return b"".join(out)
+
+
 def warc_record_py(doc_id: int, text: str) -> bytes:
     """One WARC response record (html payload behind an HTTP envelope)
-    for a template page, byte-deterministic in doc_id."""
+    for a template page, byte-deterministic in doc_id. Real CC response
+    records carry raw HTTP bytes with transfer/content codings, so the
+    envelope rotates through them (doc_id % 9): chunked framing (2),
+    gzip (4), zlib-deflate (6), raw-deflate (7), and gzip-then-chunked
+    (8) — the reader must undo all of them to recover the html bytes."""
+    import gzip as _gzip
+    import zlib as _zl
     url = template_url_py(doc_id)
     html = template_html_py(doc_id, text).encode("utf-8")
-    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
-            b"\r\n\r\n" + html)
+    head = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    body = html
+    m = doc_id % 9
+    if m == 2:
+        head += b"Transfer-Encoding: chunked\r\n"
+        body = _http_chunked(body)
+    elif m == 4:
+        head += b"Content-Encoding: gzip\r\n"
+        body = _gzip.compress(body, mtime=0)
+    elif m == 6:
+        head += b"Content-Encoding: deflate\r\n"
+        body = _zl.compress(body)
+    elif m == 7:
+        # raw deflate (no zlib wrapper) — common server misbehavior
+        head += b"Content-Encoding: deflate\r\n"
+        c = _zl.compressobj(wbits=-15)
+        body = c.compress(body) + c.flush()
+    elif m == 8:
+        # content coding applies first, then transfer framing
+        head += (b"Content-Encoding: gzip\r\n"
+                 b"Transfer-Encoding: chunked\r\n")
+        body = _http_chunked(_gzip.compress(body, mtime=0))
+    http = head + b"\r\n" + body
     length = "botched" if doc_id % 61 == 0 else len(http)
     return (_warc_head("response", url, warc_date_py(doc_id), length)
             + http + b"\r\n\r\n")
@@ -267,8 +306,16 @@ def synthesize_warc_dir(sf_dir: str, n_files: int = 8,
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                       columns=["doc_id", "text"])
     docs = sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    # the signature folds in a CONTENT fingerprint, not just the corpus
+    # shape — a regenerated corpus with identical ids but different text
+    # must invalidate the cached fixture, never silently reuse it
+    fp = hashlib.md5()
+    for did, text in docs:
+        fp.update(str(did).encode())
+        fp.update((text or "").encode("utf-8", "surrogatepass"))
+        fp.update(b"\x00")
     sig = hashlib.md5(
-        f"{sf_dir}:{n_files}:{len(docs)}:{docs[0][0]}:{docs[-1][0]}:v1"
+        f"{sf_dir}:{n_files}:{len(docs)}:{fp.hexdigest()}:v2"
         .encode()).hexdigest()
     if out_dir is None:
         out_dir = os.path.join(tempfile.gettempdir(), f"nrs_warc_{sig[:12]}")

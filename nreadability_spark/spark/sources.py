@@ -95,6 +95,91 @@ def _iter_warc_chunks(data: bytes, chunk: int = _WARC_CHUNK):
             return
 
 
+_MAX_HTTP_DECODE = 64 << 20  # decompressed-entity cap per record
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Strip ``Transfer-Encoding: chunked`` framing (hex-size lines,
+    chunk extensions, trailers). Malformed or truncated framing returns
+    the chunks that decoded cleanly — never raises."""
+    out = []
+    i, n = 0, len(body)
+    while i < n:
+        j = body.find(b"\r\n", i)
+        if j == -1:
+            break
+        try:
+            size = int(body[i:j].split(b";", 1)[0].strip(), 16)
+        except ValueError:
+            break
+        if size <= 0:
+            break  # terminal chunk; trailers dropped
+        chunk = body[j + 2:j + 2 + size]
+        out.append(chunk)
+        if len(chunk) < size:
+            break  # data truncated mid-chunk
+        i = j + 2 + size + 2  # past the chunk and its CRLF
+    return b"".join(out)
+
+
+def _inflate(body: bytes, wbits: int) -> bytes | None:
+    """Bounded best-effort decompress (the capped decompressobj pattern
+    of ``_iter_warc_chunks``): output capped at ``_MAX_HTTP_DECODE`` so
+    peak memory never depends on the compression ratio; corrupt streams
+    yield what decoded cleanly; ``None`` when nothing decodes."""
+    d = _zlib.decompressobj(wbits)
+    out, total, tail = [], 0, body
+    try:
+        while tail and total < _MAX_HTTP_DECODE:
+            piece = d.decompress(tail, _WARC_CHUNK)
+            if piece:
+                out.append(piece)
+                total += len(piece)
+            if d.eof:
+                break
+            tail = d.unconsumed_tail
+            if not tail:
+                break  # truncated stream: keep the clean prefix
+    except _zlib.error:
+        pass
+    return b"".join(out) if out else None
+
+
+def _decode_http_payload(body: bytes) -> bytes:
+    """WARC response payload -> entity bytes. Real Common-Crawl response
+    records store the raw HTTP bytes, so beyond dropping the status line
+    and headers this undoes ``Transfer-Encoding: chunked`` (chunk-size
+    framing would otherwise sit embedded in the html) and
+    ``Content-Encoding: gzip/x-gzip/deflate`` (the html would otherwise
+    be compressed bytes). Best-effort and bounded; never raises."""
+    http_end = body.find(b"\r\n\r\n")
+    if http_end == -1:
+        return body
+    head, payload = body[:http_end], body[http_end + 4:]
+    if not head.startswith(b"HTTP/"):
+        return payload
+    te = ce = b""
+    for line in head.split(b"\r\n")[1:]:
+        k, _, v = line.partition(b":")
+        k = k.strip().lower()
+        if k == b"transfer-encoding":
+            te = v.strip().lower()
+        elif k == b"content-encoding":
+            ce = v.strip().lower()
+    if b"chunked" in te:
+        payload = _dechunk(payload)
+    if ce in (b"gzip", b"x-gzip"):
+        dec = _inflate(payload, 31)
+        payload = dec if dec is not None else payload
+    elif ce == b"deflate":
+        # zlib-wrapped per RFC 9110, but raw-deflate servers are common
+        dec = _inflate(payload, 15)
+        if dec is None:
+            dec = _inflate(payload, -15)
+        payload = dec if dec is not None else payload
+    return payload
+
+
 def _parse_warc_stream(chunks):
     """Incremental WARC/1.0 record parser over an iterator of
     decompressed byte chunks. Buffers at most one record (plus one scan
@@ -162,6 +247,14 @@ def _parse_warc_stream(chunks):
             k = find_pulling(b"\r\n\r\nWARC/", head_end)
             if k == -1:
                 body = bytes(buf[body_start:])
+                # per WARC spec the content block EXCLUDES the trailing
+                # CRLFCRLF record delimiter; when resync finds no next
+                # record (stream end, or a member parsed in isolation by
+                # the indexed reader) the delimiter is still sitting at
+                # the tail — strip it so the indexed and streaming
+                # parsers agree byte-for-byte on damaged records.
+                if body.endswith(b"\r\n\r\n"):
+                    body = body[:-4]
                 consumed = len(buf)
             else:
                 body = bytes(buf[body_start:k])
@@ -173,9 +266,9 @@ def _parse_warc_stream(chunks):
             "utf-8", errors="replace")
         date = headers.get(b"warc-date", b"").decode("ascii",
                                                      errors="replace")
-        # payload is an HTTP response: drop its status line + headers
-        http_end = body.find(b"\r\n\r\n")
-        html = body[http_end + 4:] if http_end != -1 else body
+        # payload is an HTTP response: drop its status line + headers,
+        # then undo chunked framing and gzip/deflate content coding
+        html = _decode_http_payload(body)
         if uri:
             yield uri, date, html
 

@@ -140,3 +140,32 @@ def test_robots_check_spark_matches_kernel():
                    if (r["doc_id"] % 97) % 17 == 0)
     finally:
         spark.stop()
+
+
+def test_multiple_matching_groups_merge():
+    """RFC 9309 §2.2.1: ALL groups matching the agent combine — a
+    second 'User-agent: bot' block's Disallow must not be ignored."""
+    r = parse_robots("User-agent: bot\nDisallow: /x\n"
+                     "User-agent: other\nDisallow: /z\n"
+                     "User-agent: bot\nDisallow: /y\nCrawl-delay: 3\n")
+    assert is_allowed(r, "bot", "/x") is False
+    assert is_allowed(r, "bot", "/y") is False   # second group honored
+    assert is_allowed(r, "bot", "/z") is True    # other group ignored
+    assert crawl_delay(r, "bot") == 3.0
+    # multiple '*' groups merge the same way
+    r2 = parse_robots("User-agent: *\nDisallow: /a\n"
+                      "User-agent: *\nDisallow: /b\n")
+    assert is_allowed(r2, "any", "/a") is False
+    assert is_allowed(r2, "any", "/b") is False
+    assert is_allowed(r2, "any", "/c") is True
+
+
+def test_merge_only_at_winning_specificity():
+    """A longer agent-token match excludes shorter groups from the
+    merge; equal-length matches merge."""
+    r = parse_robots("User-agent: google\nDisallow: /short\n"
+                     "User-agent: googlebot\nDisallow: /a\n"
+                     "User-agent: googlebot\nDisallow: /b\n")
+    assert is_allowed(r, "googlebot-news", "/a") is False
+    assert is_allowed(r, "googlebot-news", "/b") is False
+    assert is_allowed(r, "googlebot-news", "/short") is True

@@ -214,3 +214,25 @@ def test_warc_lookup_pushes_key_to_scan(tmp_path_factory):
                            "https://nohost.example/zzz").count() == 0
     finally:
         spark.stop()
+
+
+def test_percent_decode_before_lowercase():
+    """'%41' (A) and 'A' are the same resource: both must canonicalize
+    to 'a' — decoding happens before case folding."""
+    assert surt_key("http://example.org/%41") == "org,example)/a"
+    assert surt_key("http://example.org/A") == "org,example)/a"
+    assert surt_key("http://example.org/%7a%41?K=%42") \
+        == "org,example)/za?k=b"
+    # kept (reserved) escapes still uppercase their hex
+    assert surt_key("http://example.org/%2f%2F") == "org,example)/%2F%2F"
+
+
+def test_query_slash_after_host():
+    """A '/' inside a query attached directly to the host must not be
+    mistaken for the path."""
+    assert surt_key("http://example.com?a=1/b") == "com,example)/?a=1/b"
+    assert surt_key("http://example.com?a=1/b&c=2") \
+        == "com,example)/?a=1/b&c=2"
+    # and with a path present, first '?' still starts the query
+    assert surt_key("http://example.com/p?x=/q/r") \
+        == "com,example)/p?x=/q/r"

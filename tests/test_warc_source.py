@@ -235,3 +235,91 @@ def test_warc_ts_is_utc_instant_regardless_of_session_tz(
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert epochs == {tz: expected for tz in epochs}
+
+
+def test_http_codings_round_trip_kernel():
+    """Every transfer/content-coding class the synthesizer rotates
+    through (chunked, gzip, zlib/raw deflate, gzip-then-chunked) must
+    decode back to the exact template html bytes."""
+    from nreadability_spark.spark.pages import (template_html_py,
+                                                template_url_py,
+                                                warc_record_py)
+    from nreadability_spark.spark.sources import _parse_warc_records
+    # doc_ids hitting every m = doc_id % 9 class incl. plain (m in
+    # {0,1,3,5}) and overlaps with the damage classes
+    for doc_id in (2, 4, 6, 7, 8, 11, 13, 15, 16, 17, 61, 122, 166):
+        text = "word " * 300 + f"doc {doc_id}"
+        rec = warc_record_py(doc_id, text)
+        got = list(_parse_warc_records(rec))
+        assert len(got) == 1, doc_id
+        uri, _, html = got[0]
+        assert uri == template_url_py(doc_id)
+        assert html == template_html_py(doc_id, text).encode("utf-8"), \
+            (doc_id, doc_id % 9)
+
+
+def test_http_decode_truncated_and_corrupt_never_raise():
+    """Truncated chunk framing and corrupt compressed bodies yield the
+    clean prefix (or the raw payload), never an exception."""
+    from nreadability_spark.spark.sources import (_dechunk,
+                                                  _decode_http_payload,
+                                                  _inflate)
+    # truncated mid-chunk: keeps the complete chunks + partial data
+    assert _dechunk(b"5\r\nhello\r\n5\r\nwo") == b"hellowo"
+    # garbage size line: keeps the chunks before it
+    assert _dechunk(b"5\r\nhello\r\nzz\r\nrest") == b"hello"
+    assert _dechunk(b"") == b""
+    assert _dechunk(b"nonsense with no framing at all") == b""
+    # corrupt gzip: nothing decodes -> None; payload passes through
+    assert _inflate(b"\x1f\x8b\xff\xffgarbage", 31) is None
+    body = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            b"not actually gzip")
+    assert _decode_http_payload(body) == b"not actually gzip"
+    # truncated gzip: clean prefix survives (stored blocks so half the
+    # compressed stream still holds real payload bytes)
+    import gzip as _gz
+    full = _gz.compress(b"x" * 10000, compresslevel=0, mtime=0)
+    out = _inflate(full[:len(full) // 2], 31)
+    assert out is not None and b"x" * 100 in out
+    # chunked header with corrupt deflate inside: no raise
+    hdr = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+           b"Content-Encoding: deflate\r\n\r\n5\r\n\xff\xfe\xfd\xfc\xfb\r\n"
+           b"0\r\n\r\n")
+    assert isinstance(_decode_http_payload(hdr), bytes)
+
+
+def test_http_decode_fuzz_never_raises():
+    from hypothesis import given, settings, strategies as st
+
+    from nreadability_spark.spark.sources import _decode_http_payload
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=256),
+           st.sampled_from([b"chunked", b"gzip", b"deflate", b"x-gzip"]),
+           st.booleans())
+    def run(payload, coding, as_te):
+        key = b"Transfer-Encoding" if as_te else b"Content-Encoding"
+        body = (b"HTTP/1.1 200 OK\r\n" + key + b": " + coding +
+                b"\r\n\r\n" + payload)
+        out = _decode_http_payload(body)
+        assert isinstance(out, bytes)
+    run()
+
+
+def test_indexed_and_streaming_parsers_agree_on_damaged_records():
+    """A record with a corrupt Content-Length must yield the SAME
+    payload bytes from the per-member indexed parser (member parsed in
+    isolation, delimiter resync finds nothing) and the streaming parser
+    — per WARC spec the content block excludes the trailing CRLFCRLF."""
+    import gzip as _gz
+
+    from nreadability_spark.spark.pages import warc_record_py
+    from nreadability_spark.spark.sources import (
+        _iter_warc_records_indexed, _parse_warc_records)
+    for doc_id in (61, 122, 183, 244):  # % 61 == 0: botched length
+        rec = warc_record_py(doc_id, "damaged record body " * 40)
+        blob = _gz.compress(rec, mtime=0)
+        stream = [(u, d, h) for u, d, h in _parse_warc_records(blob)]
+        indexed = [(u, d, h) for _, _, u, d, h in
+                   _iter_warc_records_indexed(blob)]
+        assert stream == indexed and len(stream) == 1
