@@ -156,8 +156,7 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _warc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX-style URL index over the deterministic WARC segments: SURT
     key + UTC capture epoch + the (file, offset, length) triple
-    addressing each record's own gzip member (registered after the
-    SQL ops — crawl tooling, deliberately in the overflow block)."""
+    addressing each record's own gzip member."""
     from nreadability_spark.spark.pages import synthesize_warc_dir
     from nreadability_spark.spark.sources import warc_index
     return warc_index(spark, synthesize_warc_dir(sf_dir))
@@ -231,13 +230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_check": _robots_check,
         "media_features": _media_features,
         "media_frames": _media_frames,
+        # rotated INTO the window for r6 (never driver-checked before)
+        "warc_index": _warc_index,
     }
     for name, (fn, _sql) in SQL_OPS.items():
         out[name] = fn
-    # crawl-tooling kernel queries, deliberately in the overflow block
-    # (past the driver's 50-query window) so LLM-pipeline ops keep
-    # their in-window slots; pytest verifies these on every run
-    out["warc_index"] = _warc_index
     return out
 
 
