@@ -577,6 +577,91 @@ def warc_index_write(spark: SparkSession, warc_dir: str, out_dir: str,
      .write.mode("overwrite").parquet(out_dir))
 
 
+def read_pages_warc_indexed(spark: SparkSession, index_dir: str,
+                            warc_dir: str, predicate=None,
+                            with_stats: bool = False) -> DataFrame:
+    """Selective re-extraction: read ONLY the WARC records a CDX-index
+    predicate selects, with the index's (file, offset, length) members
+    as the work units instead of whole segment files.
+
+    This is the path that re-processes one host or one snapshot diff
+    without scanning 100 TB: the index scan prunes with parquet min/max
+    statistics, each task then seek()+read()s just its members' byte
+    ranges (a ranged GET on an object store), and a 1 GB segment no
+    longer serializes on one task — parallelism is record-grain, fixing
+    the per-file grain of ``read_pages_warc``. The member bytes decode
+    through the same bounded streaming parser as the full-scan path, so
+    selected pages come back byte-identical to it.
+
+    ``predicate`` is a SQL string or Column over the index columns
+    (surt, url, warc_epoch, file, offset, length, html_md5). A member
+    holding several records decodes once; only records matching a
+    selected (url, html_md5) identity are emitted, so selection
+    semantics equal "filter the full-scan output", including duplicate
+    captures. ``with_stats`` appends (file, offset, length, bytes_read)
+    for IO accounting; bytes_read == length proves nothing outside the
+    member was touched."""
+    from pyspark.sql import functions as F
+
+    idx = spark.read.parquet(index_dir)
+    if predicate is not None:
+        idx = idx.where(predicate)
+    sel = idx.select("file", "offset", "length", "url", "html_md5")
+    # shuffle only the tiny index rows: file-key partitions + offset
+    # order give each task sequential forward reads in few files
+    sel = (sel.repartition("file")
+           .sortWithinPartitions("file", "offset"))
+
+    def decode(batches):
+        import hashlib as _hashlib
+        import os as _os
+
+        import pandas as pd
+        for pdf in batches:
+            members: dict = {}
+            for f, off, ln, url, md5 in zip(pdf["file"], pdf["offset"],
+                                            pdf["length"], pdf["url"],
+                                            pdf["html_md5"]):
+                members.setdefault((f, int(off), int(ln)),
+                                   set()).add((url, md5))
+            out = {k: [] for k in ("url", "warc_date", "html", "file",
+                                   "offset", "length", "bytes_read")}
+            fh, fh_path = None, None
+            for (f, off, ln), want in sorted(members.items()):
+                path = _os.path.join(warc_dir, f)
+                if fh_path != path:
+                    if fh is not None:
+                        fh.close()
+                    fh, fh_path = open(path, "rb"), path
+                fh.seek(off)
+                data = fh.read(ln)
+                for uri, date, html in _parse_warc_records(data):
+                    key = (uri, _hashlib.md5(html).hexdigest())
+                    if key in want:
+                        out["url"].append(uri)
+                        out["warc_date"].append(date)
+                        out["html"].append(html)
+                        out["file"].append(f)
+                        out["offset"].append(off)
+                        out["length"].append(ln)
+                        out["bytes_read"].append(len(data))
+            if fh is not None:
+                fh.close()
+            yield pd.DataFrame(out)
+
+    pages = sel.mapInPandas(
+        decode, "url string, warc_date string, html binary, "
+                "file string, offset long, length long, bytes_read long")
+    cols = [F.col("url"),
+            F.expr("try_cast(warc_date as timestamp)").alias("warc_ts"),
+            F.col("html"), F.lit("").alias("text"),
+            F.lit("").alias("lang")]
+    if with_stats:
+        cols += [F.col("file"), F.col("offset"), F.col("length"),
+                 F.col("bytes_read")]
+    return pages.select(*cols)
+
+
 def warc_lookup(spark: SparkSession, index_dir: str, url: str) -> DataFrame:
     """Serve one URL's capture history from the materialized index:
     canonicalize the query to its SURT key and read the range-ordered
