@@ -1,0 +1,180 @@
+"""RC4 and AES-128 primitives for the PDF standard security handler.
+
+Pure-Python implementations of the two symmetric ciphers the PDF 1.7
+standard security handler uses (ISO 32000-1 / the public PDF 1.7 spec,
+7.6.2-7.6.3): RC4 for /V 1-2 (R 2-3) and AES-128-CBC for the /AESV2
+crypt filter (/V 4, R 4). Both sides of the codebase use these — the
+parser to decrypt, the test-corpus writer to encrypt — so correctness
+is anchored OUTSIDE the round trip by known-answer tests from the
+public specs: FIPS-197 Appendix C.1 for AES, RFC 6229 keystreams and
+the classic "Key"/"Plaintext" vector for RC4 (tests/test_pdf_crypto.py).
+
+The AES S-box is derived at import from its definition (GF(2^8)
+multiplicative inverse + affine transform) rather than transcribed —
+no 256-entry literal to mistype; the KATs pin the derivation.
+"""
+
+from __future__ import annotations
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (encrypt == decrypt)."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+# --- AES-128 ------------------------------------------------------------------
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _build_tables():
+    # log/antilog over GF(2^8) with generator 3, then the affine map
+    exp = [0] * 510
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x ^= _xtime(x)  # x *= 3
+    for i in range(255, 510):
+        exp[i] = exp[i - 255]
+    sbox = [0] * 256
+    for a in range(256):
+        inv = 0 if a == 0 else exp[255 - log[a]]
+        b, s = inv, inv
+        for _ in range(4):
+            b = ((b << 1) | (b >> 7)) & 0xFF
+            s ^= b
+        sbox[a] = s ^ 0x63
+    inv_sbox = [0] * 256
+    for a, v in enumerate(sbox):
+        inv_sbox[v] = a
+
+    def mul(a: int, b: int) -> int:
+        if a == 0 or b == 0:
+            return 0
+        return exp[log[a] + log[b]]
+
+    mtab = {c: [mul(c, x) for x in range(256)]
+            for c in (2, 3, 9, 11, 13, 14)}
+    return sbox, inv_sbox, mtab
+
+
+_SBOX, _INV_SBOX, _MUL = _build_tables()
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def _expand_key(key: bytes) -> list[int]:
+    """AES-128 key schedule: 176 round-key bytes."""
+    w = list(key)
+    for i in range(16, 176, 4):
+        t = w[i - 4:i]
+        if i % 16 == 0:
+            t = [_SBOX[t[1]] ^ _RCON[i // 16 - 1],
+                 _SBOX[t[2]], _SBOX[t[3]], _SBOX[t[0]]]
+        w += [w[i - 16 + j] ^ t[j] for j in range(4)]
+    return w
+
+
+def _encrypt_block(w: list[int], block: bytes) -> bytes:
+    m2, m3 = _MUL[2], _MUL[3]
+    s = [block[i] ^ w[i] for i in range(16)]
+    for rnd in range(1, 11):
+        # SubBytes + ShiftRows (row r of column c comes from column c+r)
+        t = [_SBOX[s[(4 * ((i >> 2) + (i & 3)) + (i & 3)) & 15]]
+             for i in range(16)]
+        k = w[16 * rnd:16 * rnd + 16]
+        if rnd < 10:  # MixColumns
+            s = [0] * 16
+            for c in (0, 4, 8, 12):
+                a0, a1, a2, a3 = t[c], t[c + 1], t[c + 2], t[c + 3]
+                s[c] = m2[a0] ^ m3[a1] ^ a2 ^ a3 ^ k[c]
+                s[c + 1] = a0 ^ m2[a1] ^ m3[a2] ^ a3 ^ k[c + 1]
+                s[c + 2] = a0 ^ a1 ^ m2[a2] ^ m3[a3] ^ k[c + 2]
+                s[c + 3] = m3[a0] ^ a1 ^ a2 ^ m2[a3] ^ k[c + 3]
+        else:
+            s = [t[i] ^ k[i] for i in range(16)]
+    return bytes(s)
+
+
+def _decrypt_block(w: list[int], block: bytes) -> bytes:
+    m9, m11, m13, m14 = _MUL[9], _MUL[11], _MUL[13], _MUL[14]
+    s = [block[i] ^ w[160 + i] for i in range(16)]
+    for rnd in range(9, -1, -1):
+        # InvShiftRows + InvSubBytes (row r of column c from column c-r)
+        t = [_INV_SBOX[s[(4 * ((i >> 2) - (i & 3)) + (i & 3)) & 15]]
+             for i in range(16)]
+        k = w[16 * rnd:16 * rnd + 16]
+        t = [t[i] ^ k[i] for i in range(16)]
+        if rnd > 0:  # InvMixColumns
+            s = [0] * 16
+            for c in (0, 4, 8, 12):
+                a0, a1, a2, a3 = t[c], t[c + 1], t[c + 2], t[c + 3]
+                s[c] = m14[a0] ^ m11[a1] ^ m13[a2] ^ m9[a3]
+                s[c + 1] = m9[a0] ^ m14[a1] ^ m11[a2] ^ m13[a3]
+                s[c + 2] = m13[a0] ^ m9[a1] ^ m14[a2] ^ m11[a3]
+                s[c + 3] = m11[a0] ^ m13[a1] ^ m9[a2] ^ m14[a3]
+        else:
+            s = t
+    return bytes(s)
+
+
+def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
+    return _encrypt_block(_expand_key(key), block)
+
+
+def aes128_decrypt_block(key: bytes, block: bytes) -> bytes:
+    return _decrypt_block(_expand_key(key), block)
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-128-CBC with PKCS#7 padding; returns iv + ciphertext (the
+    PDF /AESV2 stream layout: the IV is the first 16 payload bytes)."""
+    w = _expand_key(key)
+    pad = 16 - (len(data) % 16)
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _encrypt_block(w, block)
+        out.extend(prev)
+    return bytes(out)
+
+
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """Decrypt a PDF /AESV2 payload (first 16 bytes are the IV; PKCS#7
+    padding stripped when well-formed). Tolerant, never raises: short
+    or ragged input yields the blocks that decode cleanly."""
+    if len(key) != 16 or len(data) < 32:
+        return b""
+    w = _expand_key(key)
+    out = bytearray()
+    prev = data[:16]
+    n_blocks = (len(data) - 16) // 16  # ragged tail bytes dropped
+    for k in range(n_blocks):
+        i = 16 + 16 * k
+        block = data[i:i + 16]
+        plain = _decrypt_block(w, block)
+        out.extend(a ^ b for a, b in zip(plain, prev))
+        prev = block
+    pad = out[-1] if out else 0
+    if 1 <= pad <= 16 and len(out) >= pad \
+            and all(b == pad for b in out[-pad:]):
+        del out[-pad:]
+    return bytes(out)

@@ -19,17 +19,34 @@ reduced to a deterministic line model: Td/TD with a vertical move, T*,
 Tm, ' and ET start a new line; everything shown in between
 concatenates.
 
+Encryption: the standard security handler with an EMPTY user password
+— the common crawled-PDF case (files open in any viewer yet carry
+/Encrypt) — for RC4-40 (V1/R2), RC4-128 (V2/R3), and AES-128-CBC via
+the /AESV2 crypt filter (V4/R4), per the public PDF 1.7 spec
+algorithms 2/3/4/5 (7.6.3). Streams are decrypted (content, ObjStm,
+ToUnicode — everything text extraction reads); strings are not (no
+text ever comes from document strings here). Wrong passwords,
+unsupported handlers (V5/AESV3, non-/Standard), and truncated crypt
+payloads yield ``ok=False`` with an ``encrypted: ...`` error — never
+an exception. Filters: Flate/ASCIIHex/LZW.
+
 Scope (documented limitations, deliberate for a minimal extractor):
 CID fonts WITHOUT a ToUnicode CMap yield raw code bytes (nothing maps
-them to text without embedded-font glyph analysis), no encryption, no
-LZW/DCT filters. ``extract_pdf_text`` NEVER raises on
-malformed input — corrupt files yield fewer pages and ``ok=False``
-when nothing could be recovered, mirroring the html parser's
-parse-never-raises contract.
+them to text without embedded-font glyph analysis), no non-empty
+passwords, no AESV3/256, no DCT (images). ``extract_pdf_text`` NEVER
+raises on malformed input — corrupt files yield fewer pages and
+``ok=False`` when nothing could be recovered, mirroring the html
+parser's parse-never-raises contract.
 
 ``build_pdf`` is the deterministic writer used to synthesize the test
-corpus; writer and parser share no code paths, so round-tripping is a
-genuine check.
+corpus; writer and parser share no structural code paths, so
+round-tripping is a genuine check. The ONLY shared pieces are the
+cipher primitives (crypto.py) and the security-handler key-derivation
+helpers below — both anchored outside the round trip by spec
+known-answer tests (a shared derivation bug cannot hide behind a
+passing round trip the way a shared serializer bug could, because the
+KATs pin the primitives and tests/test_pdf_crypto.py re-derives one
+fixed case step by step).
 """
 
 from __future__ import annotations
@@ -200,6 +217,163 @@ def _parse_obj(d: bytes, i: int, depth: int = 0):
 # --- document structure ---------------------------------------------------------
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """/LZWDecode: variable-width (9-12 bit) MSB-first LZW with the
+    PDF/TIFF EarlyChange convention (code width grows one code early by
+    default). Tolerant: corrupt codes end the stream with whatever
+    decoded cleanly — never raises."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    width, acc, nbits = 9, 0, 0
+    for byte in data:
+        acc = ((acc << 8) | byte) & 0xFFFFFFFF
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                del table[258:]
+                width, prev = 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    return bytes(out)
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return bytes(out)
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZW encoder matching ``_lzw_decode`` (writer-side; leading clear
+    code, EOD terminator, table reset before overflow)."""
+    codes: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    acc, nbits = 0, 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)
+    w = b""
+    for b in data:
+        wb = w + bytes([b])
+        if wb in codes:
+            w = wb
+            continue
+        emit(codes[w])
+        codes[wb] = nxt
+        nxt += 1
+        # the decoder's table lags the encoder's by one entry (it can
+        # only append after seeing the NEXT code), hence the -1 here
+        # against the decoder's ``len(table) + early`` check
+        if nxt + early - 1 >= (1 << width):
+            if width < 12:
+                width += 1
+            elif nxt >= 4096 - early:  # table full: reset
+                emit(256)
+                codes = {bytes([i]): i for i in range(256)}
+                nxt, width = 258, 9
+        w = bytes([b])
+    if w:
+        emit(codes[w])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# --- standard security handler (PDF 1.7 spec 7.6.3) ---------------------------
+
+_CRYPT_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+
+def _std_key(password: bytes, o: bytes, p: int, id0: bytes, r: int,
+             n: int, encrypt_metadata: bool = True) -> bytes:
+    """Algorithm 2: file encryption key from the (padded) user
+    password, /O, /P (as signed little-endian int32), and the first
+    file identifier; R>=3 re-digests the first ``n`` bytes 50 times."""
+    import hashlib
+    h = hashlib.md5()
+    h.update((password + _CRYPT_PAD)[:32])
+    h.update(o[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _std_owner_value(n: int, r: int) -> bytes:
+    """Algorithm 3 for EMPTY owner and user passwords: the /O entry.
+    (Unlike Algorithm 2, the 50-fold re-digest here runs over the full
+    16-byte output.)"""
+    import hashlib
+
+    from .crypto import rc4
+    h = hashlib.md5(_CRYPT_PAD).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    rk = h[:n]
+    o = rc4(rk, _CRYPT_PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in rk), o)
+    return o
+
+
+def _std_user_value(key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (R=2) / 5 (R>=3): the /U entry for ``key``. Only the
+    first 16 bytes are significant for R>=3; the tail is zero-filled."""
+    import hashlib
+
+    from .crypto import rc4
+    if r == 2:
+        return rc4(key, _CRYPT_PAD)
+    x = hashlib.md5(_CRYPT_PAD + id0).digest()
+    x = rc4(key, x)
+    for i in range(1, 20):
+        x = rc4(bytes(b ^ i for b in key), x)
+    return x + bytes(16)
+
+
+def _object_key(key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    """Algorithm 1: per-object key (the AES variant appends 'sAlT')."""
+    import hashlib
+    h = hashlib.md5(key + num.to_bytes(3, "little")
+                    + (gen & 0xFFFF).to_bytes(2, "little")
+                    + (b"sAlT" if aes else b""))
+    return h.digest()[:min(len(key) + 5, 16)]
+
+
 class _Doc:
     """Lazy object store over the raw bytes: a (validated) xref map with
     an object-scan fallback built on first miss — truncated trailers,
@@ -218,10 +392,87 @@ class _Doc:
         self._objstm_map: dict[int, tuple[int, int]] | None = None
         self._objstm_building = False
         self._font_cache: dict[int, dict | None] = {}
+        # crypt state: None until _setup_encryption proves the file is
+        # encrypted AND the empty user password opens it
+        self._crypt: dict | None = None
+        self._crypt_error: str | None = None
+        self._encrypt_num: int | None = None
         try:
             self._parse_xref_chain()
         except _PdfErr:
             self.xref = {}
+        try:
+            self._setup_encryption()
+        except Exception:  # malformed /Encrypt: fail closed, not loud
+            self._crypt, self._crypt_error = None, \
+                "encrypted: handler failure"
+
+    def _setup_encryption(self) -> None:
+        """Standard-security-handler setup (spec 7.6.3): derive the file
+        key for the EMPTY user password and verify it against /U. Any
+        unsupported or failed case sets ``_crypt_error`` (surfaced as
+        ok=False) and leaves streams untouched."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        if isinstance(enc_ref, _Ref):
+            self._encrypt_num = int(enc_ref)
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            self._crypt_error = "encrypted: unreadable /Encrypt"
+            return
+        filt = self.resolve(enc.get("Filter"))
+        v = self.resolve(enc.get("V")) or 0
+        r = self.resolve(enc.get("R")) or 2
+        if filt != "/Standard" or v not in (1, 2, 4) or r not in (2, 3, 4):
+            self._crypt_error = "encrypted: unsupported handler"
+            return
+        o = self.resolve(enc.get("O"))
+        u = self.resolve(enc.get("U"))
+        p = self.resolve(enc.get("P"))
+        if not (isinstance(o, bytes) and isinstance(u, bytes)
+                and isinstance(p, int)):
+            self._crypt_error = "encrypted: malformed /Encrypt"
+            return
+        length = self.resolve(enc.get("Length"))
+        n = length // 8 if isinstance(length, int) \
+            and 40 <= length <= 128 and length % 8 == 0 else 5
+        if r == 2:
+            n = 5  # V1/R2 is always 40-bit
+        aes = False
+        if v == 4:
+            stmf = self.resolve(enc.get("StmF")) or "/Identity"
+            if stmf == "/Identity":
+                return  # streams are not encrypted
+            cf = self.resolve(enc.get("CF"))
+            cfd = self.resolve(cf.get(stmf.lstrip("/"))) \
+                if isinstance(cf, dict) else None
+            cfm = self.resolve(cfd.get("CFM")) \
+                if isinstance(cfd, dict) else None
+            if cfm == "/AESV2":
+                aes, n = True, 16
+            elif cfm != "/V2":
+                self._crypt_error = "encrypted: unsupported crypt filter"
+                return
+        em = self.resolve(enc.get("EncryptMetadata"))
+        em = em if isinstance(em, bool) else True
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = ids[0] if isinstance(ids, list) and ids \
+            and isinstance(ids[0], bytes) else b""
+        key = _std_key(b"", o, p, id0, r, n, em)
+        if _std_user_value(key, id0, r)[:16] != u[:16]:
+            self._crypt_error = "encrypted: password required"
+            return
+        self._crypt = {"key": key, "aes": aes}
+
+    def _decrypt_stream(self, num: int, gen: int, data: bytes) -> bytes:
+        c = self._crypt
+        okey = _object_key(c["key"], num, gen, c["aes"])
+        if c["aes"]:
+            from .crypto import aes_cbc_decrypt
+            return aes_cbc_decrypt(okey, data)
+        from .crypto import rc4
+        return rc4(okey, data)
 
     def _parse_xref_chain(self) -> None:
         last = None
@@ -266,7 +517,7 @@ class _Doc:
             start, count = int(m.group(1)), int(m.group(2))
             i = m.end()
             for k in range(count):
-                e = _XREF_ENT_RE.match(self.data, i)
+                e = _XREF_ENT_RE.match(self.data, _skip_ws(self.data, i))
                 if not e:
                     raise _PdfErr("bad xref entry")
                 if e.group(3) == b"n":
@@ -452,6 +703,15 @@ class _Doc:
                     raw = raw[:-2]
                 elif raw[-1:] in (b"\r", b"\n"):
                     raw = raw[:-1]
+        # per-object stream decryption — except cross-reference streams
+        # (never encrypted per spec) and the /Encrypt dictionary itself.
+        # Streams fetched during the xref-chain parse predate the crypt
+        # setup, but those are exactly the exempt /XRef streams.
+        if raw is not None and self._crypt is not None \
+                and num != self._encrypt_num \
+                and not (isinstance(obj, dict)
+                         and obj.get("Type") == "/XRef"):
+            raw = self._decrypt_stream(num, int(m.group(2)), raw)
         self._cache[num] = (obj, raw)
         return obj, raw
 
@@ -548,6 +808,12 @@ def _decode_stream(doc: _Doc, sdict, raw: bytes) -> bytes:
             if len(digits) % 2:
                 digits += b"0"
             out = bytes.fromhex(digits.decode("ascii"))
+        elif f in ("/LZWDecode", "/LZW"):
+            parms = doc.resolve(sdict.get("DecodeParms"))
+            early = parms.get("EarlyChange") \
+                if isinstance(parms, dict) else 1
+            early = doc.resolve(early)
+            out = _lzw_decode(out, 1 if early not in (0, 1) else early)
         else:
             return b""  # unsupported filter: no text from this stream
     return _apply_predictor(doc, sdict.get("DecodeParms"), out)
@@ -801,6 +1067,8 @@ def extract_pdf_text(data: bytes) -> PdfText:
     yields whatever pages could be recovered (ok=False when none)."""
     try:
         doc = _Doc(bytes(data))
+        if doc._crypt_error:
+            return PdfText([], False, doc._crypt_error)
         root = doc.resolve(doc.trailer.get("Root"))
         pages_node = doc.resolve(root.get("Pages")) \
             if isinstance(root, dict) else None
@@ -906,8 +1174,10 @@ def _page_stream_bytes(lines: list[str], style: int,
 
 def build_pdf(pages: list[list[str]], compress: bool = True,
               style: int = 0, layout: str = "classic",
-              predictor: bool = False, cid: bool = False) -> bytes:
-    """Write a deterministic PDF; shares no code with the extractor.
+              predictor: bool = False, cid: bool = False,
+              encrypt: str | None = None, lzw: bool = False) -> bytes:
+    """Write a deterministic PDF; shares no structural code with the
+    extractor (only the KAT-anchored cipher/key-derivation helpers).
 
     ``layout='classic'``: PDF 1.4 — direct objects, classic xref table,
     trailer. ``layout='objstm'``: PDF 1.5 — catalog/page-tree/page
@@ -915,14 +1185,57 @@ def build_pdf(pages: list[list[str]], compress: bool = True,
     written as a /Type /XRef stream with W [1 2 2] type-1/type-2 rows
     (optionally behind the PNG Up predictor), no classic trailer — the
     modern layout real crawl PDFs use. Content streams stay direct in
-    both layouts (streams cannot live inside an ObjStm)."""
+    both layouts (streams cannot live inside an ObjStm).
+
+    ``encrypt``: None | 'rc4-40' (V1/R2) | 'rc4-128' (V2/R3) |
+    'aes-128' (V4/R4 /AESV2) — standard security handler, empty user
+    and owner passwords, every stream except the xref stream encrypted
+    with its per-object key (AES IVs derived deterministically so the
+    corpus stays byte-stable). ``lzw``: content streams use /LZWDecode
+    instead of /FlateDecode."""
     n_pages = max(len(pages), 1)
     pages = pages or [[""]]
     font_num = 2 + 2 * n_pages + 1
     tou_num = font_num + 1 if cid else None
+    enc_num = ((tou_num or font_num) + 1) if encrypt else None
     ver = b"1.5" if layout == "objstm" else b"1.4"
     out = bytearray(b"%PDF-" + ver + b"\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
+
+    if encrypt:
+        import hashlib as _hl
+        r, v, n, aes = {"rc4-40": (2, 1, 5, False),
+                        "rc4-128": (3, 2, 16, False),
+                        "aes-128": (4, 4, 16, True)}[encrypt]
+        p_perms = -44
+        id0 = _hl.md5(b"nrs-pdf-id\x00" + repr(pages).encode()
+                      + encrypt.encode()).digest()
+        o_val = _std_owner_value(n, r)
+        file_key = _std_key(b"", o_val, p_perms, id0, r, n, True)
+        u_val = _std_user_value(file_key, id0, r)
+
+        def enc_stream(num: int, data: bytes) -> bytes:
+            okey = _object_key(file_key, num, 0, aes)
+            if aes:
+                from .crypto import aes_cbc_encrypt
+                iv = _hl.md5(b"nrs-iv%d" % num).digest()
+                return aes_cbc_encrypt(okey, iv, data)
+            from .crypto import rc4
+            return rc4(okey, data)
+
+        cfpart = (" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                  " /StmF /StdCF /StrF /StdCF") if v == 4 else ""
+        enc_body = (f"<< /Filter /Standard /V {v} /R {r} "
+                    f"/Length {n * 8} /P {p_perms} "
+                    f"/O <{o_val.hex()}> /U <{u_val.hex()}>"
+                    f"{cfpart} >>").encode()
+        id_part = f" /ID [<{id0.hex()}> <{id0.hex()}>]".encode()
+        enc_ref_part = b" /Encrypt %d 0 R" % enc_num
+    else:
+        def enc_stream(num: int, data: bytes) -> bytes:  # noqa: ARG001
+            return data
+
+        id_part = enc_ref_part = b""
 
     def emit(num: int, body: bytes, stream: bytes | None = None) -> None:
         offsets[num] = len(out)
@@ -933,11 +1246,14 @@ def build_pdf(pages: list[list[str]], compress: bool = True,
 
     def content_obj(cnum: int, lines: list[str]) -> None:
         content = _page_stream_bytes(lines, style, cid=cid)
-        if compress:
-            data = zlib.compress(content, 6)
+        if lzw:
+            data = enc_stream(cnum, _lzw_encode(content))
+            head = b"<< /Length %d /Filter /LZWDecode >>" % len(data)
+        elif compress:
+            data = enc_stream(cnum, zlib.compress(content, 6))
             head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
         else:
-            data = content
+            data = enc_stream(cnum, content)
             head = b"<< /Length %d >>" % len(data)
         emit(cnum, head, data)
 
@@ -954,11 +1270,12 @@ def build_pdf(pages: list[list[str]], compress: bool = True,
               f"/Ordering (Identity) /Supplement 0 >> >>] >>").encode())
         cmap = _tounicode_cmap()
         if compress:
-            z = zlib.compress(cmap, 6)
+            z = enc_stream(tou_num, zlib.compress(cmap, 6))
             emit(tou_num, b"<< /Length %d /Filter /FlateDecode >>"
                  % len(z), z)
         else:
-            emit(tou_num, b"<< /Length %d >>" % len(cmap), cmap)
+            z = enc_stream(tou_num, cmap)
+            emit(tou_num, b"<< /Length %d >>" % len(z), z)
 
     kids = " ".join(f"{3 + 2 * k} 0 R" for k in range(n_pages))
     cat = b"<< /Type /Catalog /Pages 2 0 R >>"
@@ -974,7 +1291,7 @@ def build_pdf(pages: list[list[str]], compress: bool = True,
     font = (b"<< /Type /Font /Subtype /Type1 "
             b"/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
 
-    last_direct = tou_num if cid else font_num
+    last_direct = enc_num or (tou_num if cid else font_num)
     if layout != "objstm":
         emit(1, cat)
         emit(2, ptree)
@@ -982,32 +1299,37 @@ def build_pdf(pages: list[list[str]], compress: bool = True,
             emit(3 + 2 * k, page_dict(k))
             content_obj(4 + 2 * k, lines)
         emit_fonts()
+        if encrypt:
+            emit(enc_num, enc_body)
         xref_pos = len(out)
         out.extend(b"xref\n0 %d\n" % (last_direct + 1))
         out.extend(b"0000000000 65535 f \n")
         for num in range(1, last_direct + 1):
             out.extend(b"%010d 00000 n \n" % offsets[num])
-        out.extend(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
-                   b"%d\n%%%%EOF\n" % (last_direct + 1, xref_pos))
+        out.extend(b"trailer\n<< /Size %d /Root 1 0 R%s%s >>\n"
+                   b"startxref\n%d\n%%%%EOF\n"
+                   % (last_direct + 1, enc_ref_part, id_part, xref_pos))
         return bytes(out)
 
     # --- objstm layout: dict objects packed into one object stream ----
     for k, lines in enumerate(pages):
         content_obj(4 + 2 * k, lines)
     emit_fonts()
+    if encrypt:
+        emit(enc_num, enc_body)
     members = [(1, cat), (2, ptree)] + \
         [(3 + 2 * k, page_dict(k)) for k in range(n_pages)]
     bodies = b" ".join(b for _n, b in members)
     head_pairs = []
     off = 0
-    for n, b in members:
-        head_pairs.append(f"{n} {off}".encode())
+    for n_, b in members:
+        head_pairs.append(f"{n_} {off}".encode())
         off += len(b) + 1
     header = b" ".join(head_pairs) + b"\n"
     stm_payload = header + bodies
     stm_num = last_direct + 1
     xref_num = last_direct + 2
-    zipped = zlib.compress(stm_payload, 6)
+    zipped = enc_stream(stm_num, zlib.compress(stm_payload, 6))
     emit(stm_num, b"<< /Type /ObjStm /N %d /First %d /Length %d "
                   b"/Filter /FlateDecode >>"
          % (len(members), len(header), len(zipped)), zipped)
@@ -1041,10 +1363,11 @@ def build_pdf(pages: list[list[str]], compress: bool = True,
             prev = row
         rows = filtered
         parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
-    zrows = zlib.compress(bytes(rows), 6)
+    zrows = zlib.compress(bytes(rows), 6)  # xref stream: never encrypted
     emit(xref_num, b"<< /Type /XRef /Size %d /W [1 4 2] "
-                   b"/Index [0 %d] /Root 1 0 R /Length %d "
+                   b"/Index [0 %d] /Root 1 0 R%s%s /Length %d "
                    b"/Filter /FlateDecode%s >>"
-         % (xref_num + 1, xref_num + 1, len(zrows), parms), zrows)
+         % (xref_num + 1, xref_num + 1, enc_ref_part, id_part,
+            len(zrows), parms), zrows)
     out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_pos)
     return bytes(out)

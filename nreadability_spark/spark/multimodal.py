@@ -180,11 +180,23 @@ def build_doc_pdf(doc_id: int, text: str) -> bytes:
     # doc_id % 2 rotates the file layout (classic 1.4 / object-stream
     # 1.5 with an xref stream), % 4 == 3 additionally runs the xref
     # rows through the PNG Up predictor — so the corpus exercises the
-    # modern structure layer, not just the 1.4 shape
+    # modern structure layer, not just the 1.4 shape. % 7 odd classes
+    # encrypt with the standard security handler (empty user password:
+    # RC4-40 / RC4-128 / AES-128 — the crawled-PDF norm), % 11 == 4
+    # swaps content streams to /LZWDecode, and % 83 == 0 corrupts the
+    # /U validator so the empty-password check fails (ok=false,
+    # "encrypted: password required" — the paywalled-file shape).
+    encrypt = {1: "rc4-40", 3: "rc4-128", 5: "aes-128"}.get(int(doc_id) % 7)
     pdf = build_pdf(pages, compress=True, style=int(doc_id) % 3,
                     layout="objstm" if doc_id % 2 else "classic",
                     predictor=doc_id % 4 == 3,
-                    cid=doc_id % 5 == 2)
+                    cid=doc_id % 5 == 2,
+                    encrypt=encrypt, lzw=doc_id % 11 == 4)
+    if encrypt and doc_id % 83 == 0:
+        i = pdf.find(b"/U <")
+        if i >= 0:
+            pdf = pdf[:i + 5] + (b"0" if pdf[i + 5:i + 6] != b"0"
+                                 else b"1") + pdf[i + 6:]
     if doc_id % 89 == 0:
         return pdf[:40]
     if doc_id % 53 == 0:
