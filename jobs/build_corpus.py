@@ -35,7 +35,8 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def build_corpus(spark, pages, out_dir: str, robots=None) -> dict:
+def build_corpus(spark, pages, out_dir: str, robots=None,
+                 sitemaps=None) -> dict:
     """Run the full funnel; returns the stage-count summary dict.
 
     Staged layout under ``out_dir``:
@@ -49,6 +50,17 @@ def build_corpus(spark, pages, out_dir: str, robots=None) -> dict:
     from nreadability_spark.spark import ops
 
     summary: dict = {"pages": pages.count()}
+
+    # -1. crawl discovery: parse fetched sitemap blobs into the frontier
+    # seed table (next cycle's fetch list) — a side output, not a gate
+    # on this cycle's pages
+    if sitemaps is not None:
+        from nreadability_spark.spark.ops import parse_sitemaps
+        frontier = parse_sitemaps(sitemaps)
+        frontier.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "frontier.parquet"))
+        summary["frontier_urls"] = spark.read.parquet(
+            os.path.join(out_dir, "frontier.parquet")).count()
 
     # 0. crawl politeness: gate urls through per-host robots.txt BEFORE
     # any extraction work is spent on them (REP default: hosts without
@@ -149,8 +161,13 @@ def main() -> None:
                          "the pages table from its documents")
     ap.add_argument("--robots", default=None,
                     help="robots table (Iceberg/parquet, host+robots_txt) "
+                         "OR a directory of <host>.txt fetch payloads "
                          "to gate urls through; 'synthesize' uses the "
                          "deterministic per-host corpus robots")
+    ap.add_argument("--sitemaps", default=None,
+                    help="directory of <host>.xml sitemap fetch payloads "
+                         "(or a host+xml table) to parse into the "
+                         "frontier seed table (frontier.parquet)")
     ap.add_argument("--checkpoint-dir", default=None,
                     help="reliable-checkpoint dir for the iterative dedup "
                          "ops (sets spark.nreadability.checkpointDir)")
@@ -178,10 +195,19 @@ def main() -> None:
         if args.robots == "synthesize":
             from nreadability_spark.spark.sources import synthesize_robots
             robots = synthesize_robots(spark)
+        elif args.robots and os.path.isdir(args.robots):
+            from nreadability_spark.spark.sources import read_robots_dir
+            robots = read_robots_dir(spark, args.robots)
         elif args.robots:
             robots = read_pages(spark, args.robots)
+        sitemaps = None
+        if args.sitemaps and os.path.isdir(args.sitemaps):
+            from nreadability_spark.spark.sources import read_sitemap_dir
+            sitemaps = read_sitemap_dir(spark, args.sitemaps)
+        elif args.sitemaps:
+            sitemaps = read_pages(spark, args.sitemaps)
         print(json.dumps(build_corpus(spark, pages, args.output,
-                                      robots=robots)))
+                                      robots=robots, sitemaps=sitemaps)))
     finally:
         spark.stop()
 

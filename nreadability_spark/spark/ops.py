@@ -2259,19 +2259,36 @@ LM_BIGRAM_SCORE_SQL = f"""
 
 # --- sitemap ingestion ------------------------------------------------------------
 
-def sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl discovery from sitemaps: per-host sitemap.xml payloads
-    (synthesized deterministically, one urlset per host with
-    loc/lastmod/priority per document) parsed back into the URL seed
-    table a frontier consumes. XML handling is the pragmatic crawler
-    shape — split on <url> blocks, field regexes per block — identical
-    in both engines, and deliberately tolerant (real sitemaps are
-    machine-written but frequently invalid XML).
+def parse_sitemaps(smaps: DataFrame,
+                   host_col: str = "host",
+                   xml_col: str = "xml") -> DataFrame:
+    """Parse fetched sitemap.xml payloads into the URL seed table a
+    crawl frontier consumes: (host, loc, lastmod, priority_milli), one
+    row per <url> block. This is the PRODUCTION entry point — the blobs
+    arrive from fetches (or ``jobs/build_corpus --sitemaps <dir>``), and
+    the parse is a zero-shuffle per-row projection + explode. XML
+    handling is the pragmatic crawler shape — split on <url> blocks,
+    field regexes per block — deliberately tolerant (real sitemaps are
+    machine-written but frequently invalid XML); a block missing a field
+    yields '' / null for it rather than dropping the row."""
+    blocks = smaps.selectExpr(
+        f"{host_col} as host",
+        f"explode(regexp_extract_all({xml_col}, '<url>.*?</url>', 0)) as b")
+    # try_cast: a block with no <priority> yields '' -> null, which ANSI
+    # cast would turn into a job-killing error on one bad sitemap
+    return blocks.selectExpr(
+        "host",
+        "regexp_extract(b, '<loc>([^<]*)</loc>', 1) as loc",
+        "regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) as lastmod",
+        "cast(try_cast(regexp_extract(b, '<priority>0[.]([0-9])</priority>',"
+        " 1) as bigint) * 100 as bigint) as priority_milli")
 
-    Scale shape: building the per-host blobs is one host-key exchange
-    with ordered string aggregation (in production the blobs ARRIVE
-    from fetches, so only the parse side exists: a zero-shuffle per-row
-    projection + explode)."""
+
+def synthesize_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-host sitemap.xml payloads over the corpus url
+    space (one urlset per host with loc/lastmod/priority per document)
+    — the test/benchmark stand-in for fetched sitemap blobs. One
+    host-key exchange with ordered string aggregation."""
     docs = _read(spark, sf_dir, "documents")
     entries = docs.selectExpr(
         "cast(doc_id % 97 as bigint) as host",
@@ -2283,19 +2300,18 @@ def sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "                      cast(doc_id % 365 as int)), 'yyyy-MM-dd'),"
         " '</lastmod><priority>0.', cast(doc_id % 10 as string),"
         " '</priority></url>') as entry")
-    smaps = entries.groupBy("host").agg(F.expr(
+    return entries.groupBy("host").agg(F.expr(
         "concat('<?xml version=\"1.0\"?><urlset>',"
         " concat_ws('', transform(array_sort("
         "   collect_list(struct(doc_id, entry))), s -> s.entry)),"
         " '</urlset>')").alias("xml"))
-    blocks = smaps.selectExpr(
-        "host", "explode(regexp_extract_all(xml, '<url>.*?</url>', 0)) as b")
-    return blocks.selectExpr(
-        "host",
-        "regexp_extract(b, '<loc>([^<]*)</loc>', 1) as loc",
-        "regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) as lastmod",
-        "cast(cast(regexp_extract(b, '<priority>0[.]([0-9])</priority>',"
-        " 1) as bigint) * 100 as bigint) as priority_milli")
+
+
+def sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl discovery from sitemaps: the driver-facing composition of
+    ``synthesize_sitemaps`` (deterministic fetched-blob stand-ins) and
+    ``parse_sitemaps`` (the production parse)."""
+    return parse_sitemaps(synthesize_sitemaps(spark, sf_dir))
 
 
 SITEMAP_URLS_SQL = """

@@ -8,6 +8,8 @@ difference on a real cluster is the session's catalog config.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
@@ -392,57 +394,120 @@ def synthesize_robots(spark: SparkSession, n_hosts: int = 97) -> DataFrame:
         "host string, robots_txt string")
 
 
-def robots_check(spark: SparkSession, sf_dir: str,
-                 agent: str = ROBOTS_AGENT) -> DataFrame:
-    """Per-document crawl-gate verdict: (doc_id, url, allowed, delay_ms)
-    for the corpus's template urls against their hosts' robots.txt.
-    Hosts without a file left-join to null and default to allowed."""
-    import os as _os
+def _read_per_host_dir(spark: SparkSession, path: str, ext: str,
+                       value_col: str) -> DataFrame:
+    """Load a directory of per-host fetch payloads named
+    ``<host>.<ext>`` (the layout a fetcher spools robots.txt / sitemap
+    blobs into) as (host, <value_col>). binaryFile parallelizes across
+    files — the right grain, one small payload per host — and the host
+    key is decoded from the filename JVM-side."""
+    from pyspark.sql import functions as F
 
+    raw = (spark.read.format("binaryFile")
+           .load(os.path.join(path, f"*.{ext}"))
+           .select("path", "content"))
+    return raw.select(
+        F.regexp_extract("path", rf"([^/]+)\.{ext}$", 1).alias("host"),
+        F.decode(F.col("content"), "UTF-8").alias(value_col))
+
+
+def read_robots_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of ``<host>.txt`` robots payloads -> (host, robots_txt)
+    — the external-fetch shape ``robots_filter`` / ``robots_verdicts``
+    consume (``jobs/build_corpus --robots <dir>``)."""
+    return _read_per_host_dir(spark, path, "txt", "robots_txt")
+
+
+def read_sitemap_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of ``<host>.xml`` sitemap payloads -> (host, xml) — the
+    external-fetch shape ``ops.parse_sitemaps`` consumes
+    (``jobs/build_corpus --sitemaps <dir>``)."""
+    return _read_per_host_dir(spark, path, "xml", "xml")
+
+
+def robots_verdicts(pages: DataFrame, robots: DataFrame,
+                    agent: str = ROBOTS_AGENT) -> DataFrame:
+    """Per-url crawl-gate verdict over CALLER-SUPPLIED tables — the
+    production shape: ``pages`` is any DataFrame with a ``url`` column
+    (all other columns pass through), ``robots`` is (host, robots_txt)
+    as fetched. Appends ``allowed boolean`` and ``delay_ms long``.
+
+    The host key comes out of the url by regex (JVM-side), the join
+    shuffles on it (one robots row per host — broadcast at test scale
+    via AQE, a plain shuffle join at web scale), and the RFC 9309
+    verdict runs in Arrow batches with the parsed robots cached per
+    distinct host text. Urls whose host has no robots row get
+    (allowed=true, delay_ms=null) — the REP default."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     from .job import ensure_package_shipped
-    ensure_package_shipped(spark)
-    docs = spark.read.parquet(
-        _os.path.join(sf_dir, "documents.parquet")).select("doc_id")
-    pages = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.concat(F.lit("host"), (F.col("doc_id") % 97).cast("string"),
-                 F.lit(".example.org")).alias("host"),
-        F.concat(F.lit("https://host"),
-                 (F.col("doc_id") % 97).cast("string"),
-                 F.lit(".example.org/articles/"),
-                 F.col("doc_id").cast("string")).alias("url"))
-    joined = pages.join(synthesize_robots(spark), "host", "left")
+    ensure_package_shipped(pages.sparkSession)
+    cols = pages.columns
+    joined = (pages.withColumn("_host", F.expr(_HOST_OF_URL))
+              .join(robots.withColumnRenamed("host", "_host")
+                    .withColumnRenamed("robots_txt", "_robots_txt"),
+                    "_host", "left"))
+    passthrough = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in joined.drop("_host", "_robots_txt").schema.fields)
+    schema_out = f"{passthrough}, allowed boolean, delay_ms long"
 
     def gate(batches):
+        from urllib.parse import urlsplit
+
         from nreadability_spark.readability.robots import (crawl_delay,
                                                            is_allowed,
                                                            parse_robots)
         cache: dict = {}
         for pdf in batches:
-            out = {"doc_id": [], "url": [], "allowed": [], "delay_ms": []}
-            for did, url, txt in zip(pdf["doc_id"], pdf["url"],
-                                     pdf["robots_txt"]):
-                path = "/articles/%d" % int(did)
-                if txt is None or (isinstance(txt, float)):
-                    allowed, delay = True, None
-                else:
-                    r = cache.get(txt)
-                    if r is None:
-                        r = cache[txt] = parse_robots(txt)
-                    allowed = is_allowed(r, agent, path)
-                    delay = crawl_delay(r, agent)
-                out["doc_id"].append(int(did))
-                out["url"].append(url)
-                out["allowed"].append(bool(allowed))
-                out["delay_ms"].append(
-                    int(delay * 1000) if delay is not None else None)
-            yield pd.DataFrame(out)
+            allowed_col, delay_col = [], []
+            for url, txt in zip(pdf["url"], pdf["_robots_txt"]):
+                if txt is None or isinstance(txt, float):
+                    allowed_col.append(True)
+                    delay_col.append(None)
+                    continue
+                r = cache.get(txt)
+                if r is None:
+                    r = cache[txt] = parse_robots(txt)
+                try:
+                    sp = urlsplit(url or "")
+                    path = (sp.path or "/") + \
+                        (("?" + sp.query) if sp.query else "")
+                except ValueError:
+                    path = "/"
+                allowed_col.append(bool(is_allowed(r, agent, path)))
+                d = crawl_delay(r, agent)
+                delay_col.append(int(d * 1000) if d is not None else None)
+            out = pdf.drop(columns=["_host", "_robots_txt"])
+            out["allowed"] = pd.Series(allowed_col, index=pdf.index,
+                                       dtype=bool)
+            out["delay_ms"] = pd.array(delay_col, dtype="Int64")
+            yield out
 
-    return joined.mapInPandas(
-        gate, "doc_id long, url string, allowed boolean, delay_ms long")
+    return joined.mapInPandas(gate, schema_out).select(
+        *cols, "allowed", "delay_ms")
+
+
+def robots_check(spark: SparkSession, sf_dir: str,
+                 agent: str = ROBOTS_AGENT) -> DataFrame:
+    """Per-document crawl-gate verdict: (doc_id, url, allowed, delay_ms)
+    for the corpus's template urls against their hosts' robots.txt —
+    the driver-facing composition of ``synthesize_robots`` (fetched-blob
+    stand-ins) and ``robots_verdicts`` (the production gate)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    pages = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("https://host"),
+                 (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example.org/articles/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return robots_verdicts(pages, synthesize_robots(spark), agent=agent)
 
 
 _HOST_OF_URL = ("lower(regexp_extract(url, "
