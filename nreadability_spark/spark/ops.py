@@ -1094,9 +1094,17 @@ def minhash_index_build(spark: SparkSession, sf_dir: str,
     together, so the query applies it against the summed counts."""
     bands = (_minhash_bands(minhash_signatures(spark, sf_dir))
              .where(F.col("doc_id") % batch_mod != 0))
+    _write_minhash_index(spark, bands, table, n_buckets)
+
+
+def _write_minhash_index(spark: SparkSession, bands: DataFrame,
+                         table: str, n_buckets: int) -> None:
+    """Overwrite the persisted band index + counts table with ``bands``
+    in the bucketed layout every incremental query/append relies on."""
     _drop_bucketed_table(spark, table)
     _drop_bucketed_table(spark, f"{table}_counts")
-    (bands.write.mode("overwrite")
+    (bands.select("doc_id", "band_id", "band_sig")
+     .write.mode("overwrite")
      .bucketBy(n_buckets, "band_id", "band_sig")
      .sortBy("band_id", "band_sig")
      .saveAsTable(table))
@@ -1106,6 +1114,20 @@ def minhash_index_build(spark: SparkSession, sf_dir: str,
     (counts.write.mode("overwrite")
      .bucketBy(n_buckets, "band_id", "band_sig")
      .saveAsTable(f"{table}_counts"))
+
+
+def minhash_index_build_full(spark: SparkSession, corpus_dir: str,
+                             table: str = "minhash_idx",
+                             n_buckets: int = 16) -> None:
+    """Persist the band index of an ENTIRE corpus directory (no demo
+    batch split, no injected dups) — the job-level shape: a snapshot
+    build indexes everything it ingested, and later incremental runs
+    check their delta against it (``jobs/build_corpus --incremental``).
+    Stale bands of since-changed/removed docs stay until the next full
+    rebuild (tombstone-less append lifecycle; compaction = rerun this)."""
+    bands = _minhash_bands(
+        minhash_signatures(spark, corpus_dir, demo_dups=False))
+    _write_minhash_index(spark, bands, table, n_buckets)
 
 
 def minhash_index_append(spark: SparkSession, batch_bands: DataFrame,
@@ -2346,6 +2368,25 @@ SITEMAP_URLS_SQL = """
 
 # --- corpus snapshot diffing ------------------------------------------------------
 
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Data-versioning diff between two CALLER-SUPPLIED snapshot
+    fingerprint tables — the production seam: ``old`` is (doc_id, h_old)
+    and ``new`` is (doc_id, h_new), each a content fingerprint (md5 of
+    text, or of the raw page bytes — the caller picks the identity).
+    Returns (doc_id, status) with status in added / removed / changed /
+    unchanged. Scale shape: one full-outer shuffle join on the snapshot
+    key comparing fingerprints — map-side hash projection, a single
+    exchange per side, no content moves. ``jobs/build_corpus
+    --incremental`` drives its re-extraction set off this."""
+    j = old.join(new, "doc_id", "full_outer")
+    return j.selectExpr(
+        "doc_id",
+        "case when h_old is null then 'added' "
+        "when h_new is null then 'removed' "
+        "when h_old = h_new then 'unchanged' "
+        "else 'changed' end as status")
+
+
 def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-versioning diff between two corpus snapshots: per doc_id,
     'added' / 'removed' / 'changed' / 'unchanged' by content hash — the
@@ -2355,10 +2396,8 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The "new" snapshot is derived deterministically from the corpus
     (doc_id % 11 removed, % 7 revised, % 13 duplicated into new ids) so
-    both engines see the same two versions. Scale shape: one full-outer
-    shuffle join on the snapshot key comparing md5 fingerprints —
-    map-side hash projection, a single exchange per side, no content
-    moves (fingerprints compare, not text)."""
+    both engines see the same two versions; the compare itself is the
+    production ``snapshot_diff`` seam."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     old = docs.selectExpr("cast(doc_id as bigint) as doc_id",
                           "md5(text) as h_old")
@@ -2369,13 +2408,7 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     added = docs.where("doc_id % 13 = 0").selectExpr(
         "cast(doc_id + 3000000 as bigint) as doc_id",
         "md5(text) as h_new")
-    j = old.join(new.unionByName(added), "doc_id", "full_outer")
-    return j.selectExpr(
-        "doc_id",
-        "case when h_old is null then 'added' "
-        "when h_new is null then 'removed' "
-        "when h_old = h_new then 'unchanged' "
-        "else 'changed' end as status")
+    return snapshot_diff(old, new.unionByName(added))
 
 
 CORPUS_DIFF_SQL = """

@@ -52,7 +52,7 @@ def test_staged_layout_and_lang(summary_and_dir, spark):
     corpus = spark.read.parquet(
         os.path.join(out, "corpus", "documents.parquet"))
     assert set(corpus.columns) == {"doc_id", "text", "lang", "source",
-                                   "n_chars"}
+                                   "n_chars", "page_md5"}
     langs = {r["lang"] for r in corpus.select("lang").distinct().collect()}
     assert langs <= {"en", "es", "de", "fr"} and langs
 
