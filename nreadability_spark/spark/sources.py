@@ -742,3 +742,86 @@ def warc_lookup(spark: SparkSession, index_dir: str, url: str) -> DataFrame:
     return (spark.read.parquet(index_dir)
             .where(F.col("surt") == key)
             .orderBy(F.col("warc_epoch").desc_nulls_last()))
+
+
+def write_pages_warc(pages: DataFrame, out_dir: str,
+                     num_files: int | None = None) -> DataFrame:
+    """Distributed WARC sink: materialize a pages table as per-record-
+    gzip WARC/1.0 segments — the export half of the archive lifecycle
+    (re-sharding a crawl, handing a filtered sub-corpus to a tool that
+    speaks WARC, or writing a recrawl delta as its own segment set).
+    The reference has no archive format at all (its input is a decoded
+    string, Carbon.Readability/TranscodeRequest.cs:5-39); this is the
+    raw-crawl ambition's write side, mirroring ``read_pages_warc``.
+
+    Each record is one independently-decodable gzip member (the CC/CDX
+    layout every reader here relies on: ``warc_index`` can index the
+    output, ``warc_lookup``/``read_pages_warc_indexed`` can range-read
+    it), html goes behind a plain HTTP/1.1 envelope with no transfer or
+    content coding, and WARC-Date is rendered in UTC so the instant
+    survives any cluster timezone. Round-trips byte-identically through
+    ``read_pages_warc`` (pytest-locked).
+
+    Scale shape: one optional repartition sizes the segments, then each
+    task streams its partition straight to ONE segment file — no
+    driver collect, no per-record files, memory O(largest record).
+    ``out_dir`` must be task-reachable storage (shared FS / fuse mount;
+    an object-store port swaps ``open`` for a multipart upload).
+    Returns the (file, records) manifest, one row per non-empty
+    segment."""
+    from pyspark.sql import functions as F
+
+    cols = pages.select(
+        "url",
+        F.expr("date_format(to_utc_timestamp(warc_ts, "
+               "current_timezone()), \"yyyy-MM-dd'T'HH:mm:ss'Z'\")")
+        .alias("warc_date"),
+        "html")
+    if num_files:
+        cols = cols.repartition(num_files)
+
+    def write_part(batches):
+        import gzip as _gzip
+        import os as _os
+
+        import pandas as pd
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        path = _os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        tmp = f"{path}.inprogress-{pid}"
+        n = 0
+        fh = None
+        try:
+            for pdf in batches:
+                for url, date, html in zip(pdf["url"], pdf["warc_date"],
+                                           pdf["html"]):
+                    body = bytes(html) if html is not None else b""
+                    http = (b"HTTP/1.1 200 OK\r\nContent-Type: "
+                            b"text/html; charset=utf-8\r\n\r\n" + body)
+                    head = (f"WARC/1.0\r\n"
+                            f"WARC-Type: response\r\n"
+                            f"WARC-Target-URI: {url}\r\n"
+                            + (f"WARC-Date: {date}\r\n" if date else "")
+                            + f"Content-Length: {len(http)}\r\n\r\n"
+                            ).encode("utf-8")
+                    if fh is None:
+                        fh = open(tmp, "wb")
+                    fh.write(_gzip.compress(head + http + b"\r\n\r\n",
+                                            mtime=0))
+                    n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        if fh is not None:
+            _os.replace(tmp, path)
+            yield pd.DataFrame({"file": [_os.path.basename(path)],
+                                "records": [n]})
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = cols.mapInPandas(write_part, "file string, records long")
+    # the action lives here so the sink call IS the write (like
+    # DataFrame.write); the returned manifest is tiny (one row/segment)
+    rows = manifest.collect()
+    return pages.sparkSession.createDataFrame(
+        rows or [], "file string, records long")
