@@ -226,3 +226,36 @@ def test_classic_multi_entry_xref_parses_trailer():
     from nreadability_spark.readability.pdf import _Doc
     doc = _Doc(build_pdf(PAGES, layout="classic"))
     assert doc.xref and doc.trailer.get("Root") is not None
+
+
+def test_fast_crypto_path_matches_pure_python(monkeypatch):
+    """A/B lock: when the OpenSSL-backed fast path is available, its
+    output is byte-identical to the pure-Python reference path for every
+    key size the PDF handler produces (5/10/16-byte RC4 object keys,
+    16-byte AES keys), including the tolerant-decrypt edge cases."""
+    from nreadability_spark.readability import crypto as C
+    if not C._FAST:
+        pytest.skip("cryptography package not installed")
+    msgs = [b"", b"x", b"sixteen byte msg", bytes(range(256)) * 3,
+            b"tail" * 123]
+    for klen in (5, 10, 16):
+        key = bytes(range(1, klen + 1))
+        for msg in msgs:
+            fast = C.rc4(key, msg)
+            monkeypatch.setattr(C, "_FAST", False)
+            pure = C.rc4(key, msg)
+            monkeypatch.setattr(C, "_FAST", True)
+            assert fast == pure
+    key, iv = bytes(range(16)), bytes(range(16, 32))
+    for msg in msgs:
+        enc_fast = C.aes_cbc_encrypt(key, iv, msg)
+        dec_fast = C.aes_cbc_decrypt(key, enc_fast)
+        ragged = C.aes_cbc_decrypt(key, enc_fast + b"xyz")
+        monkeypatch.setattr(C, "_FAST", False)
+        enc_pure = C.aes_cbc_encrypt(key, iv, msg)
+        dec_pure = C.aes_cbc_decrypt(key, enc_pure)
+        ragged_pure = C.aes_cbc_decrypt(key, enc_pure + b"xyz")
+        monkeypatch.setattr(C, "_FAST", True)
+        assert enc_fast == enc_pure
+        assert dec_fast == dec_pure == msg
+        assert ragged == ragged_pure
