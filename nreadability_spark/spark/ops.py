@@ -556,15 +556,74 @@ def _simhash_fold_arrow(base: DataFrame) -> DataFrame:
     return base.mapInArrow(fold, "doc_id bigint, simhash bigint")
 
 
+def _simhash_fused_arrow(corpus: DataFrame) -> DataFrame:
+    """Fused tokenize->hash->fold simhash kernel over Arrow batches:
+    tokenization and the per-token md5 move from the JVM expression
+    stack into the Python pass that already does the 60-bit majority
+    fold, with a per-task token->hash cache (token values are
+    vocabulary-bounded, so the cache hit rate is ~100% after warmup —
+    the md5 is paid once per distinct token per task, not once per
+    occurrence). Values byte-identical to the expression form
+    (A/B-locked in tests/test_ops.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fused(batches):
+        import hashlib
+        md5 = hashlib.md5
+        cache: dict = {}
+        cache_get = cache.get
+        for b in batches:
+            ids = b.column("doc_id")
+            texts = b.column("text").to_pylist()
+            flat: list = []
+            extend = flat.extend
+            offs = np.empty(len(texts) + 1, dtype=np.int64)
+            offs[0] = 0
+            for r, text in enumerate(texts):
+                toks = _py_tokens(text or "")
+                ths = []
+                ap = ths.append
+                for t in toks:
+                    v = cache_get(t)
+                    if v is None:
+                        v = int.from_bytes(md5(t.encode()).digest()[:8],
+                                           'big') >> 4
+                        if len(cache) < (1 << 22):  # bound task memory
+                            cache[t] = v
+                    ap(v)
+                extend(ths)
+                offs[r + 1] = len(flat)
+            fa = np.asarray(flat, dtype=np.int64)
+            lens = np.diff(offs)
+            sim = np.zeros(len(texts), dtype=np.int64)
+            if fa.size:
+                # rows are non-empty by the rlike guard
+                assert lens.min() > 0
+                for bit in range(_SIMHASH_BITS):
+                    ones = np.add.reduceat((fa >> bit) & 1, offs[:-1])
+                    sim |= ((2 * ones > lens).astype(np.int64) << bit)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sim, type=pa.int64())],
+                names=["doc_id", "simhash"])
+
+    return corpus.mapInArrow(fused, "doc_id bigint, simhash bigint")
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc simhash, shuffle-free: the token hash array is
-    materialized once per row JVM-side, then the 60-bit majority fold
-    runs as a vectorized numpy pass over Arrow batches — no explode, no
-    groupBy, a single narrow stage at any corpus size (the
-    exploded-token variant shuffled ~2k rows per document; the
-    interpreted ``aggregate``-lambda fold it replaces is A/B-locked
-    byte-identical)."""
-    return _simhash_fold_arrow(_simhash_base(spark, sf_dir))
+    """Per-doc simhash, shuffle-free: one fused Python pass per
+    document (tokenize + cached per-token md5 + vectorized numpy
+    majority fold) — no explode, no groupBy, a single narrow stage at
+    any corpus size. r7: the JVM-side tokenize + per-token
+    md5/conv/substring expression stack moved into the kernel too
+    (guide §4.2) — the per-task token cache makes the hash cost
+    vocabulary-bounded instead of occurrence-bounded;
+    ``_simhash_base``+``_simhash_fold_arrow`` remain the A/B reference
+    path, byte-identical (tests/test_ops.py)."""
+    corpus = _corpus(spark, sf_dir)
+    base = corpus.where(r"text rlike '\\S'").selectExpr(
+        "cast(doc_id as bigint) as doc_id", "text")
+    return _simhash_fused_arrow(base)
 
 
 def _simhash_sql_duck() -> str:
@@ -754,7 +813,14 @@ def simhash_index_build(spark: SparkSession, sf_dir: str,
     carried on every band row so the hamming verify needs no second
     lookup."""
     sims = simhash(spark, sf_dir).where(F.col("doc_id") % batch_mod != 0)
-    bands = _simhash_bands_of(sims)
+    _write_simhash_index(spark, _simhash_bands_of(sims), table,
+                         n_buckets)
+
+
+def _write_simhash_index(spark: SparkSession, bands: DataFrame,
+                         table: str, n_buckets: int) -> None:
+    """Overwrite the persisted simhash band index + counts table with
+    ``bands`` in the bucketed layout the incremental query relies on."""
     _drop_bucketed_table(spark, table)
     _drop_bucketed_table(spark, f"{table}_counts")
     (bands.write.mode("overwrite")
@@ -795,11 +861,19 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str,
     restricted to batch-touching pairs (the oracle pins this). The
     hamming distance verifies against the fingerprint carried on the
     matched index rows, so candidate verification costs no extra
-    corpus access."""
-    simhash_index_build(spark, sf_dir, table=table)
+    corpus access.
+
+    The band table is computed ONCE and split corpus/batch on the
+    checkpointed rows: the previous form ran the whole simhash pipeline
+    (tokenize + md5-hash every token + 60-bit fold) twice — once inside
+    simhash_index_build and once for the batch filter (guide §1.2).
+    Rows and the persisted index are unchanged."""
+    bands_all = _cut_lineage(_simhash_bands_of(simhash(spark, sf_dir)))
+    _write_simhash_index(spark,
+                         bands_all.where(F.col("doc_id") % 10 != 0),
+                         table, 16)
     keys = ["band_id", "band_sig"]
-    batch = _cut_lineage(_simhash_bands_of(
-        simhash(spark, sf_dir).where(F.col("doc_id") % 10 == 0)))
+    batch = bands_all.where(F.col("doc_id") % 10 == 0)
     idx = spark.table(table)
     idx_counts = (spark.table(f"{table}_counts")
                   .groupBy(*keys).agg(F.sum("n").alias("n_idx")))
@@ -904,6 +978,89 @@ def _minhash_base(spark: SparkSession, sf_dir: str,
         f"% {_SHINGLE_MOD}) as sha")
 
 
+_JAVA_WS_SPLIT = None
+
+
+def _py_tokens(text: str) -> list:
+    """Python twin of the engines' tokenizer expression
+    ``filter(split(lower(trim(text)), '\\s+'), x -> x != '')``:
+    * trim strips ASCII space (0x20) only — both engines' default trim;
+    * lower is the Unicode default case mapping (Python str.lower ==
+      Spark/DuckDB lower for the full A/B corpus + edge-case lock in
+      tests/test_ops.py);
+    * the split class is Java's ASCII ``\\s`` = [ \\t\\n\\x0b\\f\\r]
+      (NOT Python's Unicode \\s), empties dropped like the filter.
+    """
+    global _JAVA_WS_SPLIT
+    if _JAVA_WS_SPLIT is None:
+        import re
+        _JAVA_WS_SPLIT = re.compile('[ \t\n\x0b\f\r]+')
+    return [t for t in _JAVA_WS_SPLIT.split(text.strip(' ').lower()) if t]
+
+
+def _minhash_fused_arrow(corpus: DataFrame) -> DataFrame:
+    """Fused tokenize->shingle->hash->fold minhash kernel over Arrow
+    batches: one Python pass per document replaces the JVM expression
+    stack (split + per-shingle md5/conv/substring string round trips —
+    the measured dominant cost of every minhash consumer) with
+    hashlib.md5 behind a per-task shingle cache plus one
+    ``np.minimum.reduceat`` per permutation (guide §4.2: batch work in
+    native code inside the Python boundary). Values are byte-identical
+    to the expression form (`int(hexdigest[:15], 16)` == first 8 digest
+    bytes >> 4; A/B-locked in tests/test_ops.py). Input rows carry >=3
+    tokens by the rlike guard, so every row emits a signature."""
+    import numpy as np
+    import pyarrow as pa
+    coeffs = [(2 * i + 3, 7 * i + 1) for i in range(_N_MINHASH)]
+    names = ["doc_id"] + [f"m{i}" for i in range(_N_MINHASH)]
+    schema = "doc_id bigint, " + ", ".join(
+        f"m{i} bigint" for i in range(_N_MINHASH))
+
+    def fused(batches):
+        import hashlib
+        md5 = hashlib.md5
+        cache: dict = {}
+        cache_get = cache.get
+        for b in batches:
+            ids = b.column("doc_id")
+            texts = b.column("text").to_pylist()
+            flat: list = []
+            extend = flat.extend
+            offs = np.empty(len(texts) + 1, dtype=np.int64)
+            offs[0] = 0
+            for r, text in enumerate(texts):
+                toks = _py_tokens(text or "")
+                shas = []
+                ap = shas.append
+                for i in range(len(toks) - 2):
+                    s = toks[i] + ' ' + toks[i + 1] + ' ' + toks[i + 2]
+                    v = cache_get(s)
+                    if v is None:
+                        v = (int.from_bytes(md5(s.encode()).digest()[:8],
+                                            'big') >> 4) % _SHINGLE_MOD
+                        if len(cache) < (1 << 22):  # bound task memory
+                            cache[s] = v
+                    ap(v)
+                extend(shas)
+                offs[r + 1] = len(flat)
+            fa = np.asarray(flat, dtype=np.int64)
+            cols = []
+            if fa.size:
+                # >=1 shingle per row by the rlike guard (reduceat is
+                # only well-defined for positive-length segments)
+                assert (np.diff(offs) > 0).all()
+                for a, c in coeffs:
+                    perm = (fa * a + c) % _MINHASH_MOD
+                    cols.append(np.minimum.reduceat(perm, offs[:-1]))
+            else:
+                cols = [np.zeros(0, dtype=np.int64)] * _N_MINHASH
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array(c, type=pa.int64()) for c in cols],
+                names=names)
+
+    return corpus.mapInArrow(fused, schema)
+
+
 def _minhash_fold_expr(base: DataFrame) -> DataFrame:
     """Expression-form fold (16 interpreted array_min(transform) per
     row) — kept as the A/B reference for the Arrow kernel."""
@@ -962,18 +1119,27 @@ def minhash_signatures(spark: SparkSession, sf_dir: str,
     engine's biggest shuffle). min() is insensitive to duplicate
     shingles, so no distinct is needed either.
 
-    The fold stays EXPRESSION-form by measurement: unlike simhash's 60
-    bit folds (where the Arrow kernel wins), 16 array_mins over short
-    shingle arrays are cheaper in the JVM than the Arrow serde of the
-    hash arrays costs — sf0.1 warm 0.51 s expr vs 1.09 s Arrow
-    (``_minhash_fold_arrow`` is retained, A/B-locked byte-identical,
-    for corpora where per-doc shingle counts are much larger).
+    The hash+fold runs in the FUSED Python kernel by measurement
+    (r7): the JVM expression stack paid a per-shingle
+    md5->hex->substring->conv string round trip that dominated every
+    minhash consumer (~9 s of dedup_minhash_lsh's 11.5 s at sf1.0);
+    the fused kernel (tokenize + cached hashlib.md5 + numpy reduceat
+    fold, guide §4.2) measures ~16k docs/s/core vs ~1.8k effective.
+    ``_minhash_base``+``_minhash_fold_expr`` remain the expression-form
+    A/B reference (byte-identical, locked in tests/test_ops.py), and
+    ``_minhash_fold_arrow`` the fold-only variant.
 
     ``demo_dups=False`` reads ``documents`` as-is instead of the
     dup-injected demo corpus — the shape production callers
     (jobs/build_corpus.py) want; the driver oracle pins the default."""
-    return _minhash_fold_expr(_minhash_base(spark, sf_dir,
-                                            demo_dups=demo_dups))
+    corpus = (_corpus(spark, sf_dir) if demo_dups
+              else _read(spark, sf_dir, "documents")
+              .select("doc_id", "text"))
+    # same >=3-token prefilter as _minhash_base (cheap JVM regex BEFORE
+    # the Python boundary: rows that cannot shingle never cross)
+    base = corpus.where(r"text rlike '\\S+\\s+\\S+\\s+\\S'").selectExpr(
+        "cast(doc_id as bigint) as doc_id", "text")
+    return _minhash_fused_arrow(base)
 
 
 def _minhash_sql_duck() -> str:
@@ -1204,11 +1370,20 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str,
     The driver entry rebuilds the index each call so the query is
     idempotent; production calls minhash_index_build once, then
     _incremental_pairs + minhash_index_append per batch (the append
-    cycle is pytest-locked)."""
-    minhash_index_build(spark, sf_dir, table=table)
-    batch_bands = _cut_lineage(
-        _minhash_bands(minhash_signatures(spark, sf_dir))
-        .where(F.col("doc_id") % _INC_BATCH_MOD == 0))
+    cycle is pytest-locked).
+
+    The band table is computed ONCE and split corpus/batch on the
+    checkpointed rows: the previous form ran the whole signature
+    pipeline (tokenize + shingle + md5-hash every document) twice —
+    once inside minhash_index_build and once for the batch filter
+    (guide §1.2: don't compute things twice). Rows and the persisted
+    index are unchanged."""
+    bands = _cut_lineage(_minhash_bands(minhash_signatures(spark,
+                                                           sf_dir)))
+    _write_minhash_index(
+        spark, bands.where(F.col("doc_id") % _INC_BATCH_MOD != 0),
+        table, 16)
+    batch_bands = bands.where(F.col("doc_id") % _INC_BATCH_MOD == 0)
     return _incremental_pairs(spark, batch_bands, table=table)
 
 
@@ -1372,8 +1547,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
                             "dst")
                  .groupBy(F.col("src").alias("doc_id"))
                  .agg(F.min("lbl").alias("nlbl")))
+        # prev_lbl rides along so the convergence check below is a
+        # narrow filter over the checkpointed rows — the previous form
+        # re-joined new vs old labels on doc_id every round, one extra
+        # shuffle per round for a boolean (guide §2.4)
         new_labels = (labels.join(neigh, "doc_id", "left")
-                      .selectExpr("doc_id",
+                      .selectExpr("doc_id", "lbl as prev_lbl",
                                   "least(lbl, coalesce(nlbl, lbl)) as lbl"))
         if _round > 0:
             # pointer jumping: also adopt the label's own label, halving
@@ -1384,17 +1563,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
                           .join(labels.selectExpr("doc_id as lbl",
                                                   "lbl as _p"),
                                 "lbl", "left")
-                          .selectExpr("doc_id",
+                          .selectExpr("doc_id", "prev_lbl",
                                       "least(lbl, coalesce(_p, lbl)) "
                                       "as lbl"))
         new_labels = _cut_lineage(new_labels)
-        prev = labels
-        labels = new_labels
+        labels = new_labels.select("doc_id", "lbl")
         if _round >= 1:
-            changed = (new_labels.join(prev.selectExpr("doc_id",
-                                                       "lbl as old_lbl"),
-                                       "doc_id")
-                       .where("lbl != old_lbl").limit(1).count())
+            changed = (new_labels.where("lbl != prev_lbl")
+                       .limit(1).count())
             if changed == 0:
                 converged = True
                 break
@@ -2915,9 +3091,15 @@ def pagerank_edges(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
         edges = (edges.select("src", "dst").distinct()
                  .withColumn("w", F.lit(1).cast("long")))
     edges = _cut_lineage(edges)
-    nodes = (edges.selectExpr("src as host")
-             .union(edges.selectExpr("dst as host")).distinct())
-    outw = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
+    # nodes and outw are loop invariants consumed by every iteration:
+    # materialize them once — without the cut, each of the 10 rounds
+    # re-ran the union-distinct and the outdegree aggregation over the
+    # full edge table (guide §1.2: don't recompute what a loop reuses)
+    nodes = _cut_lineage(
+        edges.selectExpr("src as host")
+        .union(edges.selectExpr("dst as host")).distinct())
+    outw = _cut_lineage(
+        edges.groupBy("src").agg(F.sum("w").alias("wtot")))
     ranks = _cut_lineage(nodes.selectExpr(
         "host", f"cast({_PR_INIT} as bigint) as pr"))
     # floor() everywhere a division happens: Spark's cast(double as

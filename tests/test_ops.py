@@ -379,3 +379,77 @@ def test_simhash_incremental_append_cycle(spark):
     finally:
         spark.sql(f"drop table if exists {table}")
         spark.sql(f"drop table if exists {table}_counts")
+
+
+def test_fused_sketch_kernels_match_expression_forms(spark):
+    """r7 A/B lock: the fused Python kernels (tokenize + cached md5 +
+    numpy fold) must be byte-identical to the JVM expression forms they
+    replaced, over the corpus AND over tokenizer edge cases (unicode
+    whitespace/case, ASCII-only \\s split class, space-only trim)."""
+    from pyspark.sql import functions as F
+    from nreadability_spark.spark.ops import (_minhash_base,
+                                              _minhash_fold_expr,
+                                              _minhash_fused_arrow,
+                                              _simhash_base,
+                                              _simhash_fold_arrow,
+                                              _simhash_fused_arrow,
+                                              minhash_signatures, simhash)
+    fused = sorted(tuple(r) for r in
+                   minhash_signatures(spark, SF_DIR).collect())
+    expr = sorted(tuple(r) for r in _minhash_fold_expr(
+        _minhash_base(spark, SF_DIR)).collect())
+    assert fused == expr
+    fused_s = sorted(tuple(r) for r in simhash(spark, SF_DIR).collect())
+    ref_s = sorted(tuple(r) for r in _simhash_fold_arrow(
+        _simhash_base(spark, SF_DIR)).collect())
+    assert fused_s == ref_s
+
+    # tokenizer edge cases: NBSP/line-sep are NOT Java \s; vertical tab
+    # is; trim strips only 0x20; unicode case mapping (final sigma,
+    # dotted I, sharp s); numerals/punctuation; multi-space runs
+    edge = [
+        "a b c d",
+        "  lead and trail  ",
+        "\ttabs\tand\nnewlines\x0bvt\fff\rcr end",
+        "nbsp\xa0joined stays one\xa0token x",
+        "line\u2028sep is not ws here y z",
+        "UPPER Case MiXeD lower case",
+        "İstanbul DİCKENS straße tokens",
+        "ΣΙΣΥΦΟΣ ΑΣ end x",
+        "1 2 3 4.5 6,7 a-b c_d",
+        " x  y   z    w ",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(edge)], "doc_id long, text string")
+    guarded = df.where(r"text rlike '\\S+\\s+\\S+\\s+\\S'") \
+        .selectExpr("cast(doc_id as bigint) as doc_id", "text")
+    fused_e = sorted(tuple(r) for r in
+                     _minhash_fused_arrow(guarded).collect())
+    base_e = guarded.selectExpr(
+        "doc_id",
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '') as toks"
+    ).selectExpr(
+        "doc_id",
+        "case when size(toks) >= 3 then zip_with(zip_with("
+        "slice(toks, 1, size(toks) - 2), slice(toks, 2, size(toks) - 2),"
+        " (a, b) -> concat(a, ' ', b)), slice(toks, 3, size(toks) - 2),"
+        " (ab, c) -> concat(ab, ' ', c)) else array() end as sh_arr"
+    ).selectExpr(
+        "doc_id",
+        "transform(sh_arr, s -> cast(conv(substring(md5(s), 1, 15), 16,"
+        " 10) as bigint) % 1000003) as sha")
+    expr_e = sorted(tuple(r) for r in
+                    _minhash_fold_expr(base_e).collect())
+    assert fused_e == expr_e
+    guard_s = df.where(r"text rlike '\\S'").selectExpr(
+        "cast(doc_id as bigint) as doc_id", "text")
+    fused_se = sorted(tuple(r) for r in
+                      _simhash_fused_arrow(guard_s).collect())
+    base_se = guard_s.selectExpr(
+        "doc_id",
+        "transform(filter(split(lower(trim(text)), '\\\\s+'),"
+        " x -> x != ''), t -> cast(conv(substring(md5(t), 1, 15), 16,"
+        " 10) as bigint)) as th")
+    ref_se = sorted(tuple(r) for r in
+                    _simhash_fold_arrow(base_se).collect())
+    assert fused_se == ref_se

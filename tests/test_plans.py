@@ -410,11 +410,11 @@ def test_token_split_evaluated_once_per_branch(spark):
                 # gate), so the visible plan carries only the big
                 # branch's tokenization
                 "dedup_lines": 1,
-                # the sketch corpus is a SINGLE-scan variant explode (not
-                # a 3-branch union), and the non-empty guards are cheap
-                # text regexes BEFORE the projection: one tokenization
-                # total per plan
-                "simhash": 1, "minhash_signatures": 1}
+                # r7: the sketch ops tokenize inside the fused Python
+                # kernel (guide §4.2) — zero JVM split expressions; the
+                # non-empty guards remain cheap text regexes before the
+                # Python boundary
+                "simhash": 0, "minhash_signatures": 0}
     for name, n in expected.items():
         fn, _sql = ops.SQL_OPS[name]
         plan = plan_of(fn(spark, SF_DIR))
