@@ -1433,6 +1433,19 @@ def _lsh_sql_duck() -> str:
 DEDUP_MINHASH_LSH_SQL = _lsh_sql_duck()
 
 
+def _jaccard_shingles(corpus: DataFrame, cand_docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) rows of the candidate docs only: the
+    semi-join runs BEFORE tokenize/explode/distinct so non-candidate
+    docs never tokenize and their shingles never shuffle (plan-locked in
+    tests/test_plans.py). distinct commutes with the doc_id-level
+    filter, so per-doc shingle sets are unchanged."""
+    return (corpus.join(cand_docs, "doc_id", "left_semi")
+            .selectExpr("doc_id", f"{_TOKENS} as toks")
+            .selectExpr("doc_id",
+                        f"explode({_SHINGLES_OF_TOKS}) as shingle")
+            .distinct())
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str,
                   cand: DataFrame | None = None) -> DataFrame:
     """Exact 3-gram Jaccard (scaled-integer) for LSH candidate pairs.
@@ -1442,24 +1455,21 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str,
     materialized) instead of recomputing the whole LSH pipeline inside
     this query; the self-contained form remains the driver contract."""
     corpus = _corpus(spark, sf_dir)
-    # distinct already shuffles the full shingle table once; checkpointing
-    # keeps that one copy instead of recomputing the explode+distinct for
-    # each of the three consumers (sizes + both pair-join sides); tokens
-    # hoisted for the same lambda-reevaluation reason as in
-    # minhash_signatures
-    sh = _cut_lineage(
-        corpus.selectExpr("doc_id", f"{_TOKENS} as toks")
-        .selectExpr("doc_id", f"explode({_SHINGLES_OF_TOKS}) as shingle")
-        .distinct())
     if cand is None:
         cand = _cut_lineage(dedup_minhash_lsh(spark, sf_dir))
     # the exploded shingle table is the biggest intermediate in the whole
-    # engine: semi-join it down to candidate docs BEFORE the pair joins so
-    # only candidate shingles shuffle (doc_id-level filter, so per-doc
-    # shingle sets — and hence sizes — are unchanged)
+    # engine: semi-join the CORPUS down to candidate docs BEFORE
+    # tokenize/explode/distinct (r7 — previously the full corpus was
+    # exploded and distinct-shuffled first, then filtered), so only
+    # candidate docs ever tokenize and only their shingles shuffle.
+    # The filter is doc_id-level, so per-doc shingle sets — and hence
+    # sizes — are unchanged; distinct and the semi-join commute.
+    # Checkpointing keeps one copy for the three consumers (sizes +
+    # both pair-join sides); tokens hoisted for the same
+    # lambda-reevaluation reason as in the sketch kernels
     cand_docs = (cand.selectExpr("doc1 as doc_id")
                  .union(cand.selectExpr("doc2 as doc_id")).distinct())
-    sh = sh.join(cand_docs, "doc_id", "left_semi")
+    sh = _cut_lineage(_jaccard_shingles(corpus, cand_docs))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.selectExpr("doc_id as doc1", "shingle")
     b = sh.selectExpr("doc_id as doc2", "shingle")
@@ -1974,19 +1984,26 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-zero vectors and boilerplate embeddings pile into one hot bucket
     whose O(n^2) pair output no AQE split can save."""
     emb = _read(spark, sf_dir, "embeddings")
-    q = emb.selectExpr("vec_id", f"{_QVEC} as qv")
+    # self-norms are per-VECTOR quantities: compute them once per row
+    # before the bucket self-join (r7 — previously both norm lambdas
+    # re-ran per PAIR, tripling the interpreted-lambda work on the
+    # join output, the dominant cost of this op)
+    q = emb.selectExpr(
+        "vec_id", f"{_QVEC} as qv"
+    ).selectExpr(
+        "vec_id", "qv",
+        "aggregate(qv, 0L, (acc, x) -> acc + x * x) as nq")
     buckets = ann_lsh_buckets(spark, sf_dir)
     side = q.join(buckets, "vec_id")
     side = _cap_buckets(side, keys=("bucket",))
-    a = side.selectExpr("vec_id as id1", "qv as v1", "bucket")
-    b = side.selectExpr("vec_id as id2", "qv as v2", "bucket")
+    a = side.selectExpr("vec_id as id1", "qv as v1", "nq as n1", "bucket")
+    b = side.selectExpr("vec_id as id2", "qv as v2", "nq as n2", "bucket")
     pairs = (a.join(b, "bucket").where(F.col("id1") < F.col("id2"))
              .selectExpr(
                  "id1", "id2",
                  "aggregate(zip_with(v1, v2, (x, y) -> x * y), 0L, "
                  "(acc, v) -> acc + v) as dot",
-                 "aggregate(v1, 0L, (acc, x) -> acc + x * x) as n1",
-                 "aggregate(v2, 0L, (acc, x) -> acc + x * x) as n2"))
+                 "n1", "n2"))
     return (pairs.selectExpr(
         "cast(id1 as bigint) as id1", "cast(id2 as bigint) as id2",
         "cast(floor(dot * 1000.0 / sqrt(cast(n1 as double) "
@@ -2730,6 +2747,16 @@ def bpe_encode(spark: SparkSession, sf_dir: str,
                   F.expr("concat_ws(chr(31), transform(array_sort("
                          "collect_list(struct(pos, sym))), s -> s.sym))")
                   .alias("toks")))
+    # the vocabulary is the dictionary side of the encode join —
+    # vocabulary-bounded (Heaps' law), not corpus-bounded. Size-gate a
+    # broadcast exactly like dedup_lines' boilerplate set (r7: without
+    # the gate the planner saw a post-6-round-window subplan with no
+    # usable size estimate and shuffled the corpus-sized probe side);
+    # the count is cheap off the checkpointed symbol table, and above
+    # the gate the join stays a shuffle join by design.
+    vocab = _cut_lineage(vocab)
+    if vocab.count() <= _SEG_BC_MAX_ROWS:
+        vocab = F.broadcast(vocab)
     docs = _read(spark, sf_dir, "documents")
     pretok = (docs
               .select(F.col("doc_id").cast("long").alias("doc_id"),

@@ -172,11 +172,20 @@ def test_reliable_checkpoint_path(spark, tmp_path):
 
 
 def test_ngram_jaccard_prunes_shingles_before_pair_join(spark):
-    """The exploded shingle table must be semi-joined down to candidate
-    docs before the wide (doc, shingle) pair joins."""
-    from nreadability_spark.spark.ops import ngram_jaccard
-    plan = plan_of(ngram_jaccard(spark, SF_DIR))
+    """The shingle table must be semi-joined down to candidate docs
+    BEFORE tokenize/explode (r7: previously the full corpus exploded
+    and distinct-shuffled first) — the prune lives in the checkpointed
+    subplan, so lock its own plan: LeftSemi below the Generate."""
+    from nreadability_spark.spark.ops import (_corpus, _jaccard_shingles,
+                                              dedup_minhash_lsh)
+    cand = dedup_minhash_lsh(spark, SF_DIR)
+    cand_docs = (cand.selectExpr("doc1 as doc_id")
+                 .union(cand.selectExpr("doc2 as doc_id")).distinct())
+    plan = plan_of(_jaccard_shingles(_corpus(spark, SF_DIR), cand_docs))
     assert "LeftSemi" in plan
+    assert "Generate" in plan  # the explode
+    assert plan.index("Generate") < plan.index("LeftSemi"), \
+        "semi-join must run below (before) the explode"
 
 
 def test_host_cap_is_single_shuffle_bounded_window(spark):
