@@ -61,6 +61,8 @@ RX_UNLIKELY = re.compile(
     "combx|comment|community|disqus|extra|foot|header|menu|remark|rss|"
     "shoutbox|sidebar|side|sponsor|ad-break|agegate|pagination|pager|popup|"
     "tweet|twitter", _I)
+RX_TRAILING_HASH = re.compile("#.*$")
+RX_TRAILING_SLASH = re.compile("/$")
 RX_MAYBE = re.compile("and|article|body|column|main|shadow", _I)
 RX_POSITIVE = re.compile(
     "article|body|content|entry|hentry|main|page|pagination|post|text|blog|"
@@ -484,8 +486,8 @@ class Transcoder:
             link_href = link.get_attribute("href")
             if not link_href or RX_MAILTO.match(link_href):
                 continue
-            link_href = re.sub("#.*$", "", link_href)
-            link_href = re.sub("/$", "", link_href)
+            link_href = RX_TRAILING_HASH.sub("", link_href)
+            link_href = RX_TRAILING_SLASH.sub("", link_href)
             if (link_href == "" or link_href == article_base_url
                     or link_href == url):
                 continue
@@ -572,7 +574,7 @@ class Transcoder:
                                      or top_page.score < cand.score):
                 top_page = cand
         if top_page is not None:
-            next_href = re.sub(r"\/$", "", top_page.link_href)
+            next_href = RX_TRAILING_SLASH.sub("", top_page.link_href)
             if base_parsed is not None:
                 return uri.resolve(base_parsed, next_href)
             return next_href

@@ -210,8 +210,12 @@ def synthesize_pdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PDF corpus derived from the documents table (the
     PDF analog of pages.synthesize_pages)."""
     ensure_package_shipped(spark)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
-        .select("doc_id", "text")
+    from .ops import _spread
+    # single-row-group documents files scan as 1-2 splits; without the
+    # spread the whole PDF build kernel runs on that many cores
+    docs = _spread(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -26,6 +26,27 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame, waves: int = 4) -> DataFrame:
+    """Round-robin repartition a narrow scan to cluster parallelism when
+    the source produced fewer splits than cores. Parquet can only split
+    at row-group boundaries: a compact single-row-group file (the shape
+    of the small dimension-style inputs here) otherwise pins every
+    downstream per-row kernel — tokenize/explode chains, Arrow kernels,
+    PDF synthesis — to one or two tasks regardless of cluster size
+    (measured: every documents-scan query at sf1.0 ran its map side on
+    <=2 of 32 cores). No-op when the scan already has at least
+    defaultParallelism partitions, so at real scale (many row groups /
+    many files) no shuffle is added — the knob is scale-adaptive, not a
+    local[32] constant (guide §2.5/§6). Round-robin keeps Spark's
+    sort-before-repartition determinism; downstream results are
+    row-order independent."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target * waves)
+
+
 def _cut_lineage(df: DataFrame) -> DataFrame:
     """Materialize an iterative-loop intermediate and cut its lineage.
 
@@ -623,7 +644,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     base = corpus.where(r"text rlike '\\S'").selectExpr(
         "cast(doc_id as bigint) as doc_id", "text")
-    return _simhash_fused_arrow(base)
+    return _simhash_fused_arrow(_spread(base))
 
 
 def _simhash_sql_duck() -> str:
@@ -1139,7 +1160,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str,
     # the Python boundary: rows that cannot shingle never cross)
     base = corpus.where(r"text rlike '\\S+\\s+\\S+\\s+\\S'").selectExpr(
         "cast(doc_id as bigint) as doc_id", "text")
-    return _minhash_fused_arrow(base)
+    return _minhash_fused_arrow(_spread(base))
 
 
 def _minhash_sql_duck() -> str:
@@ -1439,7 +1460,7 @@ def _jaccard_shingles(corpus: DataFrame, cand_docs: DataFrame) -> DataFrame:
     docs never tokenize and their shingles never shuffle (plan-locked in
     tests/test_plans.py). distinct commutes with the doc_id-level
     filter, so per-doc shingle sets are unchanged."""
-    return (corpus.join(cand_docs, "doc_id", "left_semi")
+    return (_spread(corpus.join(cand_docs, "doc_id", "left_semi"))
             .selectExpr("doc_id", f"{_TOKENS} as toks")
             .selectExpr("doc_id",
                         f"explode({_SHINGLES_OF_TOKS}) as shingle")
@@ -1944,7 +1965,7 @@ ANN_IVF_TOPK64_SQL = _ann_ivf_sql(64, 8)
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket per vector — integer-exact sign bits."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(_read(spark, sf_dir, "embeddings"))
     q = emb.selectExpr("vec_id", f"{_QVEC} as qv")
     bit_exprs = []
     for j in range(_N_PLANES):
@@ -1983,7 +2004,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same ``_MAX_BUCKET`` guard as the text-LSH dedups): at web scale
     near-zero vectors and boilerplate embeddings pile into one hot bucket
     whose O(n^2) pair output no AQE split can save."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _spread(_read(spark, sf_dir, "embeddings"))
     # self-norms are per-VECTOR quantities: compute them once per row
     # before the bucket self-join (r7 — previously both norm lambdas
     # re-ran per PAIR, tripling the interpreted-lambda work on the
@@ -2176,7 +2197,7 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition to sort it. Rank is then derived by a row_number window
     over the ≤K surviving rows (AllTuples is already satisfied by the
     single-partition top-k output, so no extra exchange appears)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     tok = docs.selectExpr("doc_id",
                           f"explode(array_distinct({_TOKENS})) as token")
     df_counts = tok.groupBy("token").agg(
@@ -2359,7 +2380,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     two gram sizes pipeline independently until the final doc_id join.
     Ratios are floor()'d scaled integers so no float crosses the
     compare boundary."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     toks = docs.selectExpr("doc_id", f"{_TOKENS} as t")
 
     def stats(n: int, pfx: str) -> DataFrame:
@@ -2440,7 +2461,7 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('of the' is in every partition's top keys); the final rollup is one
     doc_id exchange. This is the canonical train-on-corpus/score-corpus
     dataflow every self-supervised quality filter shares."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     toks = docs.selectExpr("cast(doc_id as bigint) as doc_id",
                            f"{_TOKENS} as t")
     grams = toks.selectExpr("doc_id",
@@ -2636,7 +2657,7 @@ def _bpe_initial_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
     split into single-character symbols, weighted by occurrence count.
     This is the ONLY pass that touches the corpus; everything after is
     vocabulary-sized."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     words = (docs
              .select(F.lower(F.coalesce(F.col("text"), F.lit("")))
                      .alias("low"))
@@ -2757,7 +2778,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str,
     vocab = _cut_lineage(vocab)
     if vocab.count() <= _SEG_BC_MAX_ROWS:
         vocab = F.broadcast(vocab)
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     pretok = (docs
               .select(F.col("doc_id").cast("long").alias("doc_id"),
                       F.regexp_extract_all(
@@ -2940,7 +2961,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny relative to the corpus (eval suites are KBs against TBs), so it
     BROADCASTS — the corpus-side shingle stream never shuffles; the only
     exchange is the per-doc hit count keyed on doc_id."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     toks = docs.selectExpr("doc_id", f"{_TOKENS} as t")
     sh = toks.selectExpr(
         "doc_id",
@@ -3624,7 +3645,7 @@ def _seg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     more per row in the Filter — 3 evaluations per branch. The outer form
     adds no input filter, so segmentation is computed exactly once per
     branch (measured 2.6x on the sf0.1 corpus, 10.7 s -> 4.0 s)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     segs = (docs
             .selectExpr("cast(doc_id as bigint) as doc_id",
                         f"{_TOKENS} as t")
