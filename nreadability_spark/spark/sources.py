@@ -76,25 +76,35 @@ def _iter_warc_chunks(data: bytes, chunk: int = _WARC_CHUNK):
         return
     mv = memoryview(data)
     pos, n = 0, len(data)
+    in_chunk = 1 << 18  # compressed input per feed
+    # input is fed in bounded slices: zlib's unconsumed_tail/unused_data
+    # are bytes COPIES of whatever input the call did not consume, so
+    # feeding the whole remaining buffer per member copied O(filesize)
+    # bytes per member — O(members x filesize) total (the r7 profile's
+    # dominant warc-pass cost). With sliced feeding each copy is at most
+    # one slice.
     while pos < n and bytes(mv[pos:pos + 2]) == b"\x1f\x8b":
         d = _zlib.decompressobj(31)
-        tail = mv[pos:]
+        feed = pos   # next unread input offset
+        tail = b""   # unconsumed input handed back by zlib (<= slice)
         try:
             while True:
+                if not tail:
+                    if feed >= n:
+                        return  # member truncated at EOF
+                    nxt = min(feed + in_chunk, n)
+                    tail = mv[feed:nxt]
+                    feed = nxt
                 out = d.decompress(tail, chunk)
+                tail = d.unconsumed_tail
                 if out:
                     yield out
                 if d.eof:
                     break
-                tail = d.unconsumed_tail
-                if not tail:
-                    break  # member truncated at EOF
         except _zlib.error:
             return  # corrupt member: keep what was already yielded
-        if d.eof and d.unused_data:
-            pos = n - len(d.unused_data)  # next gzip member
-        else:
-            return
+        # next member starts right after this one's compressed bytes
+        pos = feed - len(tail) - len(d.unused_data)
 
 
 _MAX_HTTP_DECODE = 64 << 20  # decompressed-entity cap per record
@@ -298,14 +308,26 @@ def _iter_warc_records_indexed(data: bytes):
         for uri, date, html in _parse_warc_stream(iter([data])):
             yield 0, len(data), uri, date, html
         return
+    mv = memoryview(data)
     pos, n = 0, len(data)
+    in_chunk = 1 << 18
+    # sliced input feeding for the same reason as _iter_warc_chunks:
+    # d.decompress(data[pos:]) copied the file's remaining bytes once
+    # per member (and unused_data copied the tail again) — O(members x
+    # filesize); slices bound every copy
     while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
         d = _zlib.decompressobj(31)
+        parts = []
+        feed = pos
         try:
-            out = d.decompress(data[pos:])
+            while not d.eof and feed < n:
+                nxt = min(feed + in_chunk, n)
+                parts.append(d.decompress(mv[feed:nxt]))
+                feed = nxt
         except _zlib.error:
             return
-        end = (n - len(d.unused_data)) if d.eof else n
+        end = (feed - len(d.unused_data)) if d.eof else n
+        out = b"".join(parts)
         for uri, date, html in _parse_warc_stream(iter([out])):
             yield pos, end - pos, uri, date, html
         if not d.eof:
@@ -499,8 +521,13 @@ def robots_check(spark: SparkSession, sf_dir: str,
 
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(
-        _os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    from .ops import _spread
+
+    # documents is a single-row-group file (1-2 scan splits); without
+    # the spread the per-url Python gate downstream runs on that many
+    # cores (the robots join broadcasts, so nothing else re-splits)
+    docs = _spread(spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")).select("doc_id"))
     pages = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.concat(F.lit("https://host"),
