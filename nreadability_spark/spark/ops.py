@@ -844,7 +844,9 @@ def _write_simhash_index(spark: SparkSession, bands: DataFrame,
     ``bands`` in the bucketed layout the incremental query relies on."""
     _drop_bucketed_table(spark, table)
     _drop_bucketed_table(spark, f"{table}_counts")
-    (bands.write.mode("overwrite")
+    # one file per bucket: see _write_minhash_index
+    (bands.repartition(n_buckets, F.col("band_id"), F.col("band_sig"))
+     .write.mode("overwrite")
      .bucketBy(n_buckets, "band_id", "band_sig")
      .sortBy("band_id", "band_sig")
      .saveAsTable(table))
@@ -1290,7 +1292,14 @@ def _write_minhash_index(spark: SparkSession, bands: DataFrame,
     in the bucketed layout every incremental query/append relies on."""
     _drop_bucketed_table(spark, table)
     _drop_bucketed_table(spark, f"{table}_counts")
+    # pre-partition on the bucket columns with numPartitions=n_buckets:
+    # HashPartitioning(cols, n) is the same pmod(murmur3(cols), n) the
+    # bucket spec uses, so every task holds exactly its own bucket and
+    # writes ONE file — without it each upstream partition wrote a file
+    # per bucket it touched (r7: 128 spread partitions x 16 buckets =
+    # 2048 small index files; guide §6 small-files)
     (bands.select("doc_id", "band_id", "band_sig")
+     .repartition(n_buckets, F.col("band_id"), F.col("band_sig"))
      .write.mode("overwrite")
      .bucketBy(n_buckets, "band_id", "band_sig")
      .sortBy("band_id", "band_sig")
