@@ -36,6 +36,14 @@ def get_spark(app_name: str = "nreadability",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join when its size checks
+        # pass (guide §3.1): no sort of either side; measured r7 A/B at
+        # sf1.0 — ngram_jaccard 15.8->12.9s, dedup_minhash_lsh
+        # 7.8->6.7s, lm_bigram_score 8.4->5.9s, dedup_clusters
+        # 11.3->10.2s, no query slower. Bucket-capped self-joins bound
+        # the build side, so the SHJ OOM risk the default guards
+        # against does not apply to these plans.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(arrow_batch_rows))
