@@ -1347,7 +1347,8 @@ def minhash_index_append(spark: SparkSession, batch_bands: DataFrame,
 
 
 def _incremental_pairs(spark: SparkSession, batch_bands: DataFrame,
-                       table: str = "minhash_idx") -> DataFrame:
+                       table: str = "minhash_idx",
+                       n_buckets: int = 16) -> DataFrame:
     """Candidate pairs touching the batch, against a persisted index:
     batch-vs-corpus joins the bucketed band table (ZERO exchange on the
     index side — only the small batch shuffles to the bucket layout),
@@ -1356,6 +1357,14 @@ def _incremental_pairs(spark: SparkSession, batch_bands: DataFrame,
     the batch's own counts, so capping matches a from-scratch run over
     index+batch exactly."""
     keys = ["band_id", "band_sig"]
+    # align the batch with the index's bucket partitioning ONCE
+    # (HashPartitioning(cols, n) == the bucket spec's pmod(murmur3, n)):
+    # every downstream consumer — the count agg, the anti-join, the
+    # batch-vs-index join, and the batch self-join — keys on the same
+    # columns, so none of them shuffles the batch again (r7: the batch
+    # previously re-shuffled per consumer)
+    batch_bands = batch_bands.repartition(
+        n_buckets, F.col("band_id"), F.col("band_sig"))
     idx = spark.table(table)
     idx_counts = (spark.table(f"{table}_counts")
                   .groupBy(*keys).agg(F.sum("n").alias("n_idx")))
@@ -2206,7 +2215,7 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition to sort it. Rank is then derived by a row_number window
     over the ≤K surviving rows (AllTuples is already satisfied by the
     single-partition top-k output, so no extra exchange appears)."""
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _read(spark, sf_dir, "documents")
     tok = docs.selectExpr("doc_id",
                           f"explode(array_distinct({_TOKENS})) as token")
     df_counts = tok.groupBy("token").agg(
@@ -2389,7 +2398,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     two gram sizes pipeline independently until the final doc_id join.
     Ratios are floor()'d scaled integers so no float crosses the
     compare boundary."""
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _read(spark, sf_dir, "documents")
     toks = docs.selectExpr("doc_id", f"{_TOKENS} as t")
 
     def stats(n: int, pfx: str) -> DataFrame:
@@ -2666,7 +2675,7 @@ def _bpe_initial_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
     split into single-character symbols, weighted by occurrence count.
     This is the ONLY pass that touches the corpus; everything after is
     vocabulary-sized."""
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _read(spark, sf_dir, "documents")
     words = (docs
              .select(F.lower(F.coalesce(F.col("text"), F.lit("")))
                      .alias("low"))
@@ -2777,17 +2786,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str,
                   F.expr("concat_ws(chr(31), transform(array_sort("
                          "collect_list(struct(pos, sym))), s -> s.sym))")
                   .alias("toks")))
-    # the vocabulary is the dictionary side of the encode join —
-    # vocabulary-bounded (Heaps' law), not corpus-bounded. Size-gate a
-    # broadcast exactly like dedup_lines' boilerplate set (r7: without
-    # the gate the planner saw a post-6-round-window subplan with no
-    # usable size estimate and shuffled the corpus-sized probe side);
-    # the count is cheap off the checkpointed symbol table, and above
-    # the gate the join stays a shuffle join by design.
-    vocab = _cut_lineage(vocab)
-    if vocab.count() <= _SEG_BC_MAX_ROWS:
-        vocab = F.broadcast(vocab)
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _read(spark, sf_dir, "documents")
     pretok = (docs
               .select(F.col("doc_id").cast("long").alias("doc_id"),
                       F.regexp_extract_all(
@@ -2970,7 +2969,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny relative to the corpus (eval suites are KBs against TBs), so it
     BROADCASTS — the corpus-side shingle stream never shuffles; the only
     exchange is the per-doc hit count keyed on doc_id."""
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _read(spark, sf_dir, "documents")
     toks = docs.selectExpr("doc_id", f"{_TOKENS} as t")
     sh = toks.selectExpr(
         "doc_id",
@@ -3654,7 +3653,7 @@ def _seg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     more per row in the Filter — 3 evaluations per branch. The outer form
     adds no input filter, so segmentation is computed exactly once per
     branch (measured 2.6x on the sf0.1 corpus, 10.7 s -> 4.0 s)."""
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _read(spark, sf_dir, "documents")
     segs = (docs
             .selectExpr("cast(doc_id as bigint) as doc_id",
                         f"{_TOKENS} as t")
