@@ -26,7 +26,7 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _spread(df: DataFrame, waves: int = 4) -> DataFrame:
+def _spread(df: DataFrame, waves: int = 1) -> DataFrame:
     """Round-robin repartition a narrow scan to cluster parallelism when
     the source produced fewer splits than cores. Parquet can only split
     at row-group boundaries: a compact single-row-group file (the shape
@@ -39,7 +39,15 @@ def _spread(df: DataFrame, waves: int = 4) -> DataFrame:
     many files) no shuffle is added — the knob is scale-adaptive, not a
     local[32] constant (guide §2.5/§6). Round-robin keeps Spark's
     sort-before-repartition determinism; downstream results are
-    row-order independent."""
+    row-order independent.
+
+    ``waves`` defaults to 1 by interleaved A/B at sf1.0: one wave beat
+    both no-spread and 4 waves for every consumer measured (e.g.
+    dedup_minhash_lsh 4.35/3.28/7.43 s off/w1/w4; simhash
+    2.48/1.00/2.00) — the extra partitions of wider waves cost more in
+    checkpoint/self-join fan-out than they buy in tail smoothing.
+    Callers with heavy, variable per-row work (the embedding vector
+    lambdas) pass waves=4 explicitly."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
@@ -1983,7 +1991,7 @@ ANN_IVF_TOPK64_SQL = _ann_ivf_sql(64, 8)
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket per vector — integer-exact sign bits."""
-    emb = _spread(_read(spark, sf_dir, "embeddings"))
+    emb = _spread(_read(spark, sf_dir, "embeddings"), waves=4)
     q = emb.selectExpr("vec_id", f"{_QVEC} as qv")
     bit_exprs = []
     for j in range(_N_PLANES):
@@ -2022,7 +2030,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same ``_MAX_BUCKET`` guard as the text-LSH dedups): at web scale
     near-zero vectors and boilerplate embeddings pile into one hot bucket
     whose O(n^2) pair output no AQE split can save."""
-    emb = _spread(_read(spark, sf_dir, "embeddings"))
+    emb = _spread(_read(spark, sf_dir, "embeddings"), waves=4)
     # self-norms are per-VECTOR quantities: compute them once per row
     # before the bucket self-join (r7 — previously both norm lambdas
     # re-ran per PAIR, tripling the interpreted-lambda work on the
