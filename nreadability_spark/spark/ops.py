@@ -2223,7 +2223,7 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition to sort it. Rank is then derived by a row_number window
     over the ≤K surviving rows (AllTuples is already satisfied by the
     single-partition top-k output, so no extra exchange appears)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     tok = docs.selectExpr("doc_id",
                           f"explode(array_distinct({_TOKENS})) as token")
     df_counts = tok.groupBy("token").agg(
@@ -2406,7 +2406,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     two gram sizes pipeline independently until the final doc_id join.
     Ratios are floor()'d scaled integers so no float crosses the
     compare boundary."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     toks = docs.selectExpr("doc_id", f"{_TOKENS} as t")
 
     def stats(n: int, pfx: str) -> DataFrame:
@@ -2794,7 +2794,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str,
                   F.expr("concat_ws(chr(31), transform(array_sort("
                          "collect_list(struct(pos, sym))), s -> s.sym))")
                   .alias("toks")))
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     pretok = (docs
               .select(F.col("doc_id").cast("long").alias("doc_id"),
                       F.regexp_extract_all(
@@ -2977,7 +2977,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny relative to the corpus (eval suites are KBs against TBs), so it
     BROADCASTS — the corpus-side shingle stream never shuffles; the only
     exchange is the per-doc hit count keyed on doc_id."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     toks = docs.selectExpr("doc_id", f"{_TOKENS} as t")
     sh = toks.selectExpr(
         "doc_id",
@@ -3661,7 +3661,7 @@ def _seg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     more per row in the Filter — 3 evaluations per branch. The outer form
     adds no input filter, so segmentation is computed exactly once per
     branch (measured 2.6x on the sf0.1 corpus, 10.7 s -> 4.0 s)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     segs = (docs
             .selectExpr("cast(doc_id as bigint) as doc_id",
                         f"{_TOKENS} as t")
