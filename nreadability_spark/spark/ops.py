@@ -347,8 +347,15 @@ def _lang_sql(dialect: str) -> str:
     """
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+def lang_id(spark: SparkSession, sf_dir: str,
+            docs: DataFrame | None = None) -> DataFrame:
+    """``docs`` lets a composition (training_mix) pass an already
+    re-split scan: standalone this op is a cheap projection, but as a
+    semi-join leg its full scoring stack runs, and the single-row-group
+    documents scan would pin it to 1-2 tasks (see _spread)."""
+    if docs is None:
+        docs = _read(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
     return spark.sql(_lang_sql("spark"))
 
 
@@ -480,9 +487,12 @@ def lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANG_ID_NB_SQL = _lang_nb_sql("duckdb")
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # tokens hoisted once (see token_counts for the CollapseProject note)
-    docs = _read(spark, sf_dir, "documents")
+def quality_score(spark: SparkSession, sf_dir: str,
+                  docs: DataFrame | None = None) -> DataFrame:
+    # tokens hoisted once (see token_counts for the CollapseProject
+    # note); ``docs`` as in lang_id (composition re-split seam)
+    if docs is None:
+        docs = _read(spark, sf_dir, "documents")
     t = docs.selectExpr("cast(doc_id as bigint) as doc_id", "text",
                         f"{_TOKENS} as t")
     return t.selectExpr(
@@ -2344,9 +2354,26 @@ def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything else is a narrow scan+filter."""
     reps = dedup_keep_representatives(spark, sf_dir) \
         .where(F.col("doc_id") < 1000000).select("doc_id")
-    lang = lang_id(spark, sf_dir) \
+    # the lang/quality legs are count-pruned to near-zero standalone,
+    # but as semi-join legs their full scoring stacks execute. Two
+    # fixes (measured ~6 s of this query together): the docs scan is
+    # re-split (_spread — single-row-group file, 1-2 tasks otherwise),
+    # and the filters run ABOVE a checkpoint barrier — pushed below
+    # the projection, `detected_lang = 'en'` inlines the whole
+    # marker-scoring case/greatest stack into the Filter, whose
+    # generated code blows the JIT method limit and drops the stage
+    # out of WholeStageCodegen (verified: filtered plan had no
+    # WholeStageCodegen node; 5.5 s interpreted vs 0.2 s behind the
+    # barrier). The checkpointed tables are (doc_id, score) columns —
+    # tiny at any scale relative to the corpus they summarize.
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    lang = _cut_lineage(
+        lang_id(spark, sf_dir, docs=docs)
+        .select("doc_id", "detected_lang")) \
         .where(F.col("detected_lang") == "en").select("doc_id")
-    q = quality_score(spark, sf_dir).where(
+    q = _cut_lineage(
+        quality_score(spark, sf_dir, docs=docs)
+        .select("doc_id", "n_tokens", "tokens_per_kchar")).where(
         (F.col("n_tokens") >= _MIX_MIN_TOKENS)
         & F.col("tokens_per_kchar").between(_MIX_KCHAR_LO, _MIX_KCHAR_HI))
     h = host_cap(spark, sf_dir)
