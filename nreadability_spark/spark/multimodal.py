@@ -212,10 +212,13 @@ def synthesize_pdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_shipped(spark)
     from .ops import _spread
     # single-row-group documents files scan as 1-2 splits; without the
-    # spread the whole PDF build kernel runs on that many cores
+    # spread the whole PDF build kernel runs on that many cores.
+    # heavy=True: PDF build+parse is ms-per-row, so the re-split wins at
+    # every measured input size (sf0.1 interleaved A/B: 2.02 s spread
+    # vs 3.36 s not) — the _spread size gate is for cheap per-row work
     docs = _spread(
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .select("doc_id", "text"))
+        .select("doc_id", "text"), heavy=True)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -26,7 +26,11 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _spread(df: DataFrame, waves: int = 1) -> DataFrame:
+_SPREAD_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES",
+                                       str(1024 * 1024)))
+
+
+def _spread(df: DataFrame, waves: int = 1, heavy: bool = False) -> DataFrame:
     """Round-robin repartition a narrow scan to cluster parallelism when
     the source produced fewer splits than cores. Parquet can only split
     at row-group boundaries: a compact single-row-group file (the shape
@@ -47,11 +51,30 @@ def _spread(df: DataFrame, waves: int = 1) -> DataFrame:
     2.48/1.00/2.00) — the extra partitions of wider waves cost more in
     checkpoint/self-join fan-out than they buy in tail smoothing.
     Callers with heavy, variable per-row work (the embedding vector
-    lambdas) pass waves=4 explicitly."""
+    lambdas) pass waves=4 explicitly.
+
+    The lower bound is input-size-derived, not a constant (guide §2.5:
+    partitioning must adapt to scale, not be tuned to one bench size):
+    below ``SPARK_GRAFT_SPREAD_MIN_BYTES`` (default 1 MiB) of estimated
+    input the re-split shuffle costs more than the parallelism it buys
+    and the scan is left alone. Interleaved on/off A/B at sf0.1 (~0.6 MB
+    documents scan): dedup_lines 2.46 vs 1.04 s, dedup_simhash 2.72 vs
+    0.95, ngram_jaccard 4.44 vs 2.01, quality_repetition 1.51 vs 0.57,
+    lm_bigram_score 2.20 vs 1.02 — spread loses everywhere at that
+    size, while the same ops measured spread-positive at sf1.0 (~6 MB
+    scan; §3 of OPTIMIZATION_r07.md). ``heavy=True`` bypasses the size
+    gate for callers whose per-row work dwarfs any shuffle at every
+    measured size (PDF synthesis+parse: 2.02 s spread vs 3.36 s not,
+    at sf0.1)."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if not heavy:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+        if size < _SPREAD_MIN_BYTES:
+            return df
     return df.repartition(target * waves)
 
 

@@ -622,3 +622,29 @@ def test_simhash_incremental_index_side_has_no_exchange(spark):
             if "Join" in up or "HashAggregate" in up:
                 break
             depth = udepth
+
+
+def test_spread_size_gate(spark):
+    """_spread is input-size-adaptive (r7): a scan below
+    SPARK_GRAFT_SPREAD_MIN_BYTES is left alone (the re-split shuffle
+    costs more than the parallelism it buys — measured 2-3x slower at
+    sf0.1 for every light consumer), above it the round-robin re-split
+    engages, and heavy=True (per-row work dwarfs any shuffle, e.g. the
+    PDF build kernel) bypasses the gate."""
+    from nreadability_spark.spark import ops
+    docs = ops._read(spark, SF_DIR, "documents").select("doc_id", "text")
+    n_scan = docs.rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism
+    assert n_scan < target  # single-row-group input: the gated scenario
+    # tiny scan: gate leaves it alone
+    assert ops._spread(docs).rdd.getNumPartitions() == n_scan
+    # heavy callers bypass the size gate
+    assert ops._spread(docs, heavy=True).rdd.getNumPartitions() == target
+    # above the threshold the re-split engages (waves multiply it)
+    old = ops._SPREAD_MIN_BYTES
+    ops._SPREAD_MIN_BYTES = 0
+    try:
+        assert ops._spread(docs).rdd.getNumPartitions() == target
+        assert ops._spread(docs, waves=2).rdd.getNumPartitions() == 2 * target
+    finally:
+        ops._SPREAD_MIN_BYTES = old
